@@ -1,0 +1,53 @@
+"""Jitted evaluation rollouts (reference eval loop, ddiffpg_main.py:69-105)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def eval_rollout(env, actor_fn, key):
+    """Run one full episode-length rollout on the eval vector env.
+
+    actor_fn(key, obs) -> action (already deterministic / no exploration
+    noise). Returns metrics dict + xy trajectory [T, E, 2].
+    """
+    k_reset, key = jax.random.split(key)
+    env_state, obs = env.reset(k_reset)
+    E = env.num_envs
+
+    def body(carry, k):
+        env_state, obs, cur_ret, cur_len, acc = carry
+        action = actor_fn(k, obs)
+        env_state, next_obs, reward, done, info = env.step(env_state, action)
+        cur_ret = cur_ret + reward
+        cur_len = cur_len + 1.0
+        d = done.astype(bool)
+        acc = {
+            "ret_sum": acc["ret_sum"] + jnp.where(d, cur_ret, 0.0).sum(),
+            "len_sum": acc["len_sum"] + jnp.where(d, cur_len, 0.0).sum(),
+            "episodes": acc["episodes"] + d.sum(),
+            "successes": acc["successes"] + (info["success"] > 0).sum(),
+        }
+        cur_ret = jnp.where(d, 0.0, cur_ret)
+        cur_len = jnp.where(d, 0.0, cur_len)
+        return (env_state, next_obs, cur_ret, cur_len, acc), obs[:, :2]
+
+    acc0 = {"ret_sum": 0.0, "len_sum": 0.0,
+            "episodes": jnp.asarray(0, jnp.int32),
+            "successes": jnp.asarray(0, jnp.int32)}
+    keys = jax.random.split(key, env.max_episode_length)
+    (_, _, _, _, acc), xy = jax.lax.scan(
+        body, (env_state, obs, jnp.zeros(E), jnp.zeros(E), acc0), keys)
+    n = jnp.maximum(acc["episodes"], 1)
+    metrics = {
+        "eval/return": acc["ret_sum"] / n,
+        "eval/episode_length": acc["len_sum"] / n,
+        "eval/success_rate": acc["successes"] / jnp.maximum(
+            acc["episodes"] + (acc["episodes"] == 0), 1),
+        "eval/episodes": acc["episodes"],
+    }
+    return metrics, xy

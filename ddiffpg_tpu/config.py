@@ -1,0 +1,223 @@
+"""Typed configuration tree.
+
+Mirrors the semantics of the reference Hydra tree
+(`/root/reference/ddiffpg/cfg/default.yaml`, `cfg/algo/*.yaml`) as plain
+dataclasses with YAML + dotted CLI overrides and an explicit `preprocess`
+pass replacing the reference's hidden post-pass mutations
+(`/root/reference/ddiffpg/utils/common.py:36-62`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _replace_nested(obj, dotted: str, value):
+    """Set `a.b.c` on nested dataclasses, returning a new instance."""
+    head, _, rest = dotted.partition(".")
+    if not hasattr(obj, head):
+        raise KeyError(f"unknown config field: {head!r} on {type(obj).__name__}")
+    if rest:
+        child = _replace_nested(getattr(obj, head), rest, value)
+        return dataclasses.replace(obj, **{head: child})
+    cur = getattr(obj, head)
+    if cur is not None and not isinstance(cur, (dict, list)) and value is not None:
+        value = type(cur)(value) if not isinstance(value, type(cur)) else value
+    return dataclasses.replace(obj, **{head: value})
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    # reference: cfg/algo/ddiffpg_algo.yaml `noise:` block
+    type: str = "mixed"          # 'fixed' | 'mixed'
+    decay: Optional[str] = None  # None | 'exp' | 'linear'
+    exp_decay_rate: float = 0.99
+    lin_decay_iters: int = 10000
+    std_max: float = 0.6
+    std_min: float = 0.05
+    tgt_pol_std: float = 0.8
+    tgt_pol_noise_bound: float = 0.2
+
+
+@dataclass(frozen=True)
+class ExpConfig:
+    # exploration<->exploitation mixing (reference `exp:` block)
+    type: str = "prop"           # 'prop' | 'fixed' | 'linear'
+    fix_ratio: float = 0.5
+    stop_ratio: float = 0.7
+    mode_embedding: bool = False
+
+
+@dataclass(frozen=True)
+class AlgoConfig:
+    name: str = "DDiffPG"
+    horizon_len: int = 1
+    memory_size: int = 2000      # DDiffPG: #trajectories; baselines: #transitions
+    batch_size: int = 4096
+    nstep: int = 1
+    tau: float = 0.05
+    gamma: float = 0.99
+    warm_up: int = 500
+    act_class: str = "TanhMLPPolicy"
+    cri_class: str = "DistributionalDoubleQ"
+    update_times: int = 8
+    no_tgt_actor: bool = True
+    actor_lr: float = 3e-4
+    critic_lr: float = 5e-4
+    alpha_lr: float = 5e-3       # SAC auto-alpha
+    alpha: Optional[float] = None
+    max_grad_norm: Optional[float] = 1.0
+    tracker_len: int = 500
+    obs_norm: bool = False
+    handle_timeout: bool = True
+    reward_scale: float = 1.0
+    # C51
+    v_min: float = 0.0
+    v_max: float = 5.0
+    num_atoms: int = 51
+    # clustering / modes
+    cluster_threshold: Optional[float] = None
+    use_downsampling: bool = False
+    use_embedding: bool = False
+    embedding_dim: int = 5
+    max_modes: int = 10          # reference caps clusters at 10 (diffusion_replay.py:120-123)
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    exp: ExpConfig = field(default_factory=ExpConfig)
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    # reference cfg/default.yaml `diffusion:` block
+    diffusion_iter: int = 5
+    action_lr: float = 0.03
+    update_times: int = 20
+
+
+@dataclass(frozen=True)
+class IntrinsicConfig:
+    # reference cfg/default.yaml `intrinsic:` block
+    type: str = "noveld"         # 'noveld' | 'rnd'
+    normalize: bool = False
+    pos_enc: bool = True
+    L: int = 10
+    warm_up: int = 1000
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    name: str = "antmaze-v1"
+    reward_type: str = "sparse"
+    random_init: bool = False
+    resolution: int = 255        # density-tracker grid resolution
+    control_type: str = "joints"  # panda: 'ee' | 'joints'
+
+
+@dataclass(frozen=True)
+class Config:
+    num_envs: int = 256
+    eval_num_envs: int = 20
+    seed: int = 42
+    log_freq: int = 2
+    eval_freq: int = 100
+    max_step: int = 4_000_000
+    algo: AlgoConfig = field(default_factory=AlgoConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    intrinsic: IntrinsicConfig = field(default_factory=IntrinsicConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    # logging / checkpointing
+    logdir: str = "runs"
+    run_name: Optional[str] = None
+    use_wandb: bool = False
+    ckpt_freq_mult: int = 5      # checkpoint every eval_freq * this
+    # numerics
+    param_dtype: str = "float32"
+
+    def override(self, **dotted: Any) -> "Config":
+        cfg = self
+        for k, v in dotted.items():
+            cfg = _replace_nested(cfg, k, v)
+        return cfg
+
+    def override_strings(self, pairs) -> "Config":
+        """Apply `key.path=value` CLI-style overrides with literal parsing."""
+        import ast
+
+        cfg = self
+        for pair in pairs:
+            k, _, v = pair.partition("=")
+            try:
+                val = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                val = None if v in ("null", "None") else v
+            cfg = _replace_nested(cfg, k, val)
+        return cfg
+
+
+# Per-algorithm presets mirroring cfg/algo/*.yaml
+def algo_preset(name: str) -> AlgoConfig:
+    name = name.upper().replace("AGENT", "")
+    if name == "DDIFFPG":
+        return AlgoConfig()
+    if name == "DIPO":
+        return AlgoConfig(name="DIPO", memory_size=1_000_000, warm_up=32)
+    if name == "TD3":
+        return AlgoConfig(name="TD3", memory_size=1_000_000, warm_up=32)
+    if name == "SAC":
+        return AlgoConfig(
+            name="SAC", memory_size=1_000_000, warm_up=32,
+            act_class="TanhDiagGaussianMLPPolicy", cri_class="DoubleQ",
+        )
+    raise ValueError(f"unknown algo {name!r}")
+
+
+def preprocess(cfg: Config, if_ddiffpg: bool = True) -> Config:
+    """Per-env overrides, same table as reference utils/common.py:36-62."""
+    name = cfg.env.name
+    if name == "antmaze-v1":
+        cfg = cfg.override(**{"env.resolution": 255, "env.random_init": True,
+                              "max_step": 3_000_000})
+        if if_ddiffpg:
+            cfg = cfg.override(**{"algo.cluster_threshold": 50.0})
+    elif name == "antmaze-v2":
+        cfg = cfg.override(**{"env.resolution": 357, "max_step": 3_000_000})
+        if if_ddiffpg:
+            cfg = cfg.override(**{"algo.cluster_threshold": 70.0})
+    elif name == "antmaze-v3":
+        cfg = cfg.override(**{"env.resolution": 459, "max_step": 4_000_000})
+        if if_ddiffpg:
+            cfg = cfg.override(**{"algo.cluster_threshold": 70.0})
+    elif name == "antmaze-v4":
+        cfg = cfg.override(**{"env.resolution": 357, "max_step": 5_000_000})
+        if if_ddiffpg:
+            cfg = cfg.override(**{"algo.cluster_threshold": 50.0})
+    else:
+        cfg = cfg.override(**{"algo.use_downsampling": True,
+                              "max_step": 3_000_000})
+    return cfg
+
+
+def load_yaml(path: str) -> Config:
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    def flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            kk = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out.update(flatten(v, kk + "."))
+            else:
+                out[kk] = v
+        return out
+
+    cfg = Config()
+    algo_name = raw.get("algo", {}).get("name")
+    if algo_name:
+        cfg = dataclasses.replace(cfg, algo=algo_preset(algo_name))
+    for k, v in flatten(raw).items():
+        cfg = _replace_nested(cfg, k, v)
+    return cfg

@@ -1,0 +1,99 @@
+"""AntMaze environments (antmaze-v1..v4).
+
+Reference semantics (SURVEY.md §2; files cited inline):
+  * obs = qpos[:15] ++ qvel[:14] (29-D, expose_all_qpos — ant.py:94-105)
+  * sparse reward: +10 within 0.5 m of a goal, +20 for the (-8, 8) goal of
+    v2 (goal_reaching_env.py:37-48)
+  * episode terminates on goal reach (registrations set eval=True) and at
+    max_episode_steps 500/700 (old__init__.py:28-98); `time_outs` reported
+    separately so agents can XOR them out of `done` (common.py:188-196)
+  * info['success'] = goal index + 1 (0 = none), every step
+  * antmaze-v1 uses random_init: torso xy ~ U(-2, 2) (ant.py:124-140)
+  * control dt 0.1 s (MuJoCo dt 0.02 x frame_skip 5 -> here dt x n_substeps)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddiffpg_tpu.envs.base import EnvState
+from ddiffpg_tpu.physics import ant as ant_model
+from ddiffpg_tpu.physics import engine, maze
+
+
+class AntMazeEnv:
+    def __init__(self, name: str = "antmaze-v1", reward_type: str = "sparse",
+                 random_init: bool = False, maze_size_scaling: float = 4.0,
+                 dt: float = 0.005, n_substeps: int = 20):
+        self.name = name
+        self.maze_map = maze.MAZES[name]
+        self.boxes = maze.compile_boxes(self.maze_map, maze_size_scaling)
+        self.model = ant_model.build_ant(static_boxes=self.boxes, dt=dt,
+                                         n_substeps=n_substeps)
+        goals = maze.GOALS[name]
+        self.goal_xy = jnp.asarray([g[0] for g in goals])      # [G, 2]
+        self.goal_reward = jnp.asarray([g[1] for g in goals])  # [G]
+        self.max_episode_steps = maze.EPISODE_LEN.get(name, 500)
+        self.random_init = random_init
+        self.reward_type = reward_type
+        self.obs_dim = 29
+        self.action_dim = 8
+        self.maze_size_scaling = maze_size_scaling
+
+    # -- single-env functional API (vmap over envs via VecEnv) --------------
+
+    def _obs(self, qpos, qvel):
+        return jnp.concatenate([qpos[:15], qvel[:14]])
+
+    def _init_state(self, key):
+        k_xy, key = jax.random.split(key)
+        qpos = jnp.asarray(self.model.init_qpos)
+        if self.random_init:
+            xy = jax.random.uniform(k_xy, (2,), minval=-2.0, maxval=2.0)
+            qpos = qpos.at[:2].set(xy)
+        qvel = jnp.asarray(self.model.init_qvel)
+        return EnvState(qpos=qpos, qvel=qvel, t=jnp.asarray(0, jnp.int32),
+                        key=key)
+
+    def reset(self, key):
+        state = self._init_state(key)
+        return state, self._obs(state.qpos, state.qvel)
+
+    def check_goal(self, xy):
+        """(reached, goal_id, reward) — goal_reaching_env.py:37-48."""
+        d = jnp.linalg.norm(xy[None, :] - self.goal_xy, axis=-1)
+        hit = d <= 0.5
+        any_hit = hit.any()
+        first = jnp.argmax(hit)
+        goal_id = jnp.where(any_hit, first + 1, 0).astype(jnp.int32)
+        reward = jnp.where(any_hit, self.goal_reward[first], 0.0)
+        return any_hit, goal_id, reward
+
+    def step(self, state: EnvState, action):
+        qpos, qvel = engine.step(self.model, state.qpos, state.qvel, action)
+        reached, goal_id, reward = self.check_goal(qpos[:2])
+
+        t = state.t + 1
+        truncated = t >= self.max_episode_steps
+        terminated = reached
+        done = terminated | truncated
+
+        obs = self._obs(qpos, qvel)
+
+        # auto-reset
+        k_reset, key = jax.random.split(state.key)
+        reset_state = self._init_state(k_reset)
+        new_state = jax.tree.map(
+            lambda r, c: jnp.where(done, r, c),
+            reset_state,
+            EnvState(qpos=qpos, qvel=qvel, t=t, key=key),
+        )
+        info = {
+            "success": goal_id,
+            "time_outs": truncated & ~terminated,
+        }
+        return new_state, obs, reward, done, info

@@ -1,0 +1,226 @@
+"""Host-side clustering orchestrator (runs at eval cadence, off hot path).
+
+Mirrors `DiffusionGoalBuffer.update_cluster / cluster / unsuccess_cluster`
+(`/root/reference/ddiffpg/replay/diffusion_replay.py:116-247,334-381`):
+
+  1. pairwise DTW over successful trajectories' xy tracks (distances cached
+     across reclusters by trajectory-id pair, diffusion_replay.py:194-211;
+     the DTW itself runs batched on device — ops/dtw.py);
+  2. average-linkage clustering cut at `threshold` or 0.7*max height;
+     more than `max_modes` clusters collapse to a single cluster
+     (diffusion_replay.py:120-123);
+  3. per-cluster balanced eviction to capacity // (2 * n_clusters);
+  4. unsuccessful trajectories assigned to the nearest cluster by mean DTW
+     to <=3 sampled members, then likewise evicted.
+
+Outputs a device-ready plan: group membership masks, slots to free, and the
+Q-scheduler plan for the stacked critics.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ddiffpg_tpu.modes.linkage import fcluster_distance, linkage_average
+from ddiffpg_tpu.modes.q_scheduler import QScheduler, SchedulerPlan
+
+
+@dataclass
+class ClusterResult:
+    num_groups: int
+    group_mask: np.ndarray          # [G_max, S] bool
+    evict_slots: np.ndarray         # [n] slot indices to free
+    plan: SchedulerPlan
+    clusters: List[List[int]]       # success traj ids per cluster
+    unsuccess_clusters: List[List[int]]
+    Z: Optional[np.ndarray]         # linkage matrix for dendrograms
+    plot_success: list              # xy arrays of success trajs
+    plot_clusters: list             # per-cluster indices into plot_success
+
+
+class ClusterManager:
+    def __init__(self, capacity: int, max_modes: int = 10,
+                 threshold: Optional[float] = None,
+                 use_downsampling: bool = False, traj_dim: int = 2,
+                 seed: int = 0, dtw_max_len: int = 768):
+        self.capacity = capacity
+        self.max_modes = max_modes
+        self.threshold = threshold
+        self.use_downsampling = use_downsampling
+        self.traj_dim = traj_dim
+        self.dtw_max_len = dtw_max_len
+        self.cache: Dict[Tuple[int, int], float] = {}
+        self.scheduler = QScheduler(max_groups=max_modes + 1)
+        self.rng = pyrandom.Random(seed)
+
+    # -- distance machinery --------------------------------------------------
+
+    def _tracks(self, ids, tracks, lengths, target_len=None):
+        out = []
+        for i in ids:
+            tr = tracks[i][: lengths[i]]
+            if target_len is not None:
+                idx = np.linspace(0, len(tr) - 1, int(target_len)).astype(int)
+                tr = tr[idx]
+            elif len(tr) > self.dtw_max_len:
+                idx = np.linspace(0, len(tr) - 1, self.dtw_max_len).astype(int)
+                tr = tr[idx]
+            out.append(np.asarray(tr, np.float64))
+        return out
+
+    def _dtw_many(self, pairs, tr_a, tr_b):
+        """Compute DTW for a list of (key, a_idx, b_idx) via the device
+        kernel, batched and padded."""
+        if not pairs:
+            return
+        import jax.numpy as jnp
+
+        from ddiffpg_tpu.ops.dtw import dtw_batch
+
+        L = max(max(len(tr_a[i]) for _, i, _ in pairs),
+                max(len(tr_b[j]) for _, _, j in pairs))
+        P = len(pairs)
+        D = tr_a[0].shape[-1]
+        A = np.zeros((P, L, D), np.float32)
+        B = np.zeros((P, L, D), np.float32)
+        la = np.zeros(P, np.int32)
+        lb = np.zeros(P, np.int32)
+        for k, (_, i, j) in enumerate(pairs):
+            A[k, : len(tr_a[i])] = tr_a[i]
+            B[k, : len(tr_b[j])] = tr_b[j]
+            la[k], lb[k] = len(tr_a[i]), len(tr_b[j])
+        d = np.asarray(dtw_batch(jnp.asarray(A), jnp.asarray(B),
+                                 jnp.asarray(la), jnp.asarray(lb)))
+        for k, (key, _, _) in enumerate(pairs):
+            self.cache[key] = float(d[k])
+            self.cache[(key[1], key[0])] = float(d[k])
+
+    # -- main entry ----------------------------------------------------------
+
+    def recluster(self, traj_id, length, success, tracks) -> ClusterResult:
+        """traj_id [S] (-1 empty), length [S], success [S] (goal id),
+        tracks [S, L+1, traj_dim] xy(z) channels of the stored obs."""
+        S = len(traj_id)
+        G = self.max_modes + 1
+        valid = (traj_id >= 0) & (length > 0)
+        succ_slots = np.where(valid & (success > 0))[0]
+        fail_slots = np.where(valid & (success == 0))[0]
+        sid = {s: int(traj_id[s]) for s in np.where(valid)[0]}
+
+        target_len = None
+        if self.use_downsampling and len(succ_slots):
+            target_len = max(2, int(np.mean(length[succ_slots])))
+        tr = {int(s): t for s, t in zip(
+            np.where(valid)[0],
+            self._tracks(np.where(valid)[0], tracks, length, target_len))}
+
+        # ---- pairwise DTW on successes, cached by id pair ------------------
+        n = len(succ_slots)
+        clusters_slots: List[List[int]] = []
+        Z = None
+        plot_success, plot_clusters = [], []
+        if n > 1:
+            pairs = []
+            for a in range(n):
+                for b in range(a + 1, n):
+                    key = (sid[succ_slots[a]], sid[succ_slots[b]])
+                    if key not in self.cache:
+                        pairs.append((key, int(succ_slots[a]),
+                                      int(succ_slots[b])))
+            self._dtw_many(pairs, tr, tr)
+            D = np.zeros((n, n))
+            for a in range(n):
+                for b in range(a + 1, n):
+                    d = self.cache[(sid[succ_slots[a]], sid[succ_slots[b]])]
+                    D[a, b] = D[b, a] = d
+            Z = linkage_average(D)
+            thr = self.threshold if self.threshold is not None else \
+                0.7 * Z[:, 2].max()
+            labels = fcluster_distance(Z, n, thr)
+            for c in range(1, labels.max() + 1):
+                members = [int(succ_slots[k]) for k in np.where(labels == c)[0]]
+                clusters_slots.append(members)
+                plot_clusters.append(list(np.where(labels == c)[0]))
+            plot_success = [tr[int(s)] for s in succ_slots]
+        elif n == 1:
+            clusters_slots = [[int(succ_slots[0])]]
+            plot_success = [tr[int(succ_slots[0])]]
+            plot_clusters = [[0]]
+
+        # collapse when too fragmented (diffusion_replay.py:120-123)
+        if len(clusters_slots) > self.max_modes:
+            clusters_slots = [sorted(
+                s for cl in clusters_slots for s in cl)]
+            plot_clusters = [list(range(n))]
+
+        # scheduler matching runs on PRE-eviction id sets
+        clusters_ids = [[sid[s] for s in cl] for cl in clusters_slots]
+        plan = self.scheduler.update_cluster(clusters_ids)
+
+        # ---- balanced eviction ---------------------------------------------
+        evict: List[int] = []
+        if clusters_slots:
+            cap = self.capacity // (2 * len(clusters_slots))
+            for cl in clusters_slots:
+                if len(cl) > cap:
+                    drop = self.rng.sample(cl, len(cl) - cap)
+                    for s in drop:
+                        cl.remove(s)
+                    evict.extend(drop)
+
+        # ---- unsuccessful-trajectory assignment -----------------------------
+        unsuccess_slots: List[List[int]] = [[] for _ in clusters_slots]
+        for s in fail_slots:
+            best_d, best_c = None, None
+            for c, cl in enumerate(clusters_slots):
+                sample = self.rng.sample(cl, min(3, len(cl))) if cl else []
+                if not sample:
+                    continue
+                need = []
+                for member in sample:
+                    key = (sid[member], sid[int(s)])
+                    if key not in self.cache:
+                        need.append((key, member, int(s)))
+                self._dtw_many(need, tr, tr)
+                dm = np.mean([self.cache[(sid[m], sid[int(s)])]
+                              for m in sample])
+                if best_d is None or dm < best_d:
+                    best_d, best_c = dm, c
+            if best_c is not None:
+                unsuccess_slots[best_c].append(int(s))
+
+        if clusters_slots:
+            cap_u = self.capacity // (2 * len(clusters_slots))
+        else:
+            unsuccess_slots = [list(fail_slots)]
+            cap_u = self.capacity
+        for cl in unsuccess_slots:
+            if len(cl) > cap_u:
+                drop = self.rng.sample(cl, len(cl) - cap_u)
+                for s in drop:
+                    cl.remove(s)
+                evict.extend(drop)
+
+        # ---- group masks ----------------------------------------------------
+        group_mask = np.zeros((G, S), bool)
+        keep = valid.copy()
+        if evict:
+            keep[np.asarray(evict, int)] = False
+        group_mask[0] = keep
+        for i, cl in enumerate(clusters_slots):
+            for s in cl:
+                group_mask[i + 1, s] = True
+            if i < len(unsuccess_slots) and clusters_slots:
+                for s in unsuccess_slots[i]:
+                    group_mask[i + 1, s] = True
+
+        return ClusterResult(
+            num_groups=plan.num_groups, group_mask=group_mask,
+            evict_slots=np.asarray(sorted(evict), np.int64), plan=plan,
+            clusters=clusters_ids,
+            unsuccess_clusters=[[sid[s] for s in cl] for cl in unsuccess_slots],
+            Z=Z, plot_success=plot_success, plot_clusters=plot_clusters)

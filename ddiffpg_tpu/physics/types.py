@@ -1,0 +1,94 @@
+"""Model / State containers for the articulated dynamics engine.
+
+A Model is a set of fixed-shape arrays describing the kinematic tree, geoms
+and actuators — the compiled equivalent of the reference's MJCF XML + URDF
+scene descriptions (low_gear_ant.xml, maze XML surgery at
+/root/reference/ddiffpg/env/d4rl/locomotion/maze_env.py:269-288). Scenes are
+typed Python specs, not XML.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# joint types
+FREE, HINGE, SLIDE, FIXED = 0, 1, 2, 3
+# geom types
+SPHERE, CAPSULE, BOX, PLANE = 0, 1, 2, 3
+
+
+@dataclass(frozen=True)
+class Model:
+    """Static scene description. numpy fields are baked into the jaxpr.
+
+    Bodies are topologically ordered (parent index < body index; parent of
+    the root is -1). Each body has exactly one joint connecting it to its
+    parent (FREE: 6 dof / 7 qpos, HINGE/SLIDE: 1 dof, FIXED: 0).
+    """
+    # tree
+    parent: np.ndarray          # [nb] int
+    jnt_type: np.ndarray        # [nb] int
+    body_pos: np.ndarray        # [nb, 3] body frame origin in parent frame
+    body_quat: np.ndarray       # [nb, 4] fixed rotation rel. to parent
+    jnt_axis: np.ndarray        # [nb, 3] joint axis in body frame (hinge/slide)
+    jnt_pos: np.ndarray         # [nb, 3] joint anchor in body frame
+    # per-body mass properties (about body COM, in body frame)
+    mass: np.ndarray            # [nb]
+    com: np.ndarray             # [nb, 3] COM in body frame
+    inertia: np.ndarray         # [nb, 3, 3] rotational inertia about COM
+    # per-dof
+    dof_body: np.ndarray        # [nv] body index of each dof
+    dof_armature: np.ndarray    # [nv]
+    dof_damping: np.ndarray     # [nv]
+    # joint limits (hinge/slide only; +-inf if unlimited); indexed per dof
+    dof_limit_lo: np.ndarray    # [nv]
+    dof_limit_hi: np.ndarray    # [nv]
+    # qpos layout
+    jnt_qposadr: np.ndarray     # [nb] start index into qpos
+    jnt_dofadr: np.ndarray      # [nb] start index into qvel
+    nq: int
+    nv: int
+    nb: int
+    # geoms
+    geom_body: np.ndarray       # [ng] body index (-1 = world/static)
+    geom_type: np.ndarray       # [ng] int
+    geom_pos: np.ndarray        # [ng, 3] in body frame
+    geom_quat: np.ndarray       # [ng, 4]
+    geom_size: np.ndarray       # [ng, 3] sphere: (r,-,-) capsule: (r, halflen,-) box: half extents
+    geom_friction: np.ndarray   # [ng] tangential friction coeff
+    ng: int
+    # static collision world: axis-aligned boxes + ground plane z=0
+    static_box_min: np.ndarray  # [nsb, 3]
+    static_box_max: np.ndarray  # [nsb, 3]
+    nsb: int
+    # actuators: torque tau[dof] += gear * ctrl[a]
+    act_dof: np.ndarray         # [nu] target dof index
+    act_gear: np.ndarray        # [nu]
+    nu: int
+    # defaults
+    init_qpos: np.ndarray       # [nq]
+    init_qvel: np.ndarray       # [nv]
+    # integration / contact parameters
+    dt: float = 0.005
+    n_substeps: int = 20        # control dt = dt * n_substeps
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    # MuJoCo-solref-style soft contact (low_gear_ant.xml solref=".02 1"):
+    # per-contact stiffness/damping scale with the touching body's mass,
+    # k = m_eff * omega^2, c = 2 * zeta * m_eff * omega, omega = 1/timeconst
+    # — keeps c*dt/m_eff uniform across light/heavy bodies so the
+    # semi-implicit integrator stays stable for every geom.
+    contact_timeconst: float = 0.02
+    contact_dampratio: float = 1.0
+    friction_vel_tol: float = 0.1   # viscous->Coulomb transition velocity
+    limit_stiffness: float = 300.0
+    limit_damping: float = 5.0
+
+
+@dataclass
+class State:
+    qpos: jnp.ndarray   # [..., nq]
+    qvel: jnp.ndarray   # [..., nv]

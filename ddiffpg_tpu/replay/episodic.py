@@ -1,0 +1,257 @@
+"""Slot-based episodic trajectory store — the DDiffPG replay.
+
+TPU-native redesign of `DiffusionGoalBuffer` + `DiffusionReplayBuffer`
+(`/root/reference/ddiffpg/replay/diffusion_replay.py`,
+`simple_replay.py:98-200`). The reference grows flat tensors with torch.cat
+and keeps Python trajectory lists; here everything is fixed-shape:
+
+  * S trajectory slots x (L+1) timesteps. obs[s, t] holds the t-th obs, so
+    next_obs of transition t is obs[s, t+1] (the TRUE terminal obs is kept,
+    unlike the reference which stores the auto-reset obs).
+  * per-slot metadata: length, success goal id, monotonically increasing
+    traj id, valid flag. Slot allocation = first free slot, else oldest id
+    (the reference instead evicts at recluster; host-side recluster refreshes
+    the group tables either way).
+  * group_mask [G_max, S]: host-computed cluster membership (group 0 =
+    everything/explore; group i = cluster_i U unsuccess_cluster_i)
+    refreshed at recluster cadence.
+  * target_action [G_max, S, L, A]: the per-mode improved-action table
+    (reference buf_target_action), remapped on recluster with parent
+    indices (update_target_action_dim semantics, simple_replay.py:186-196).
+  * sampling is uniform over the transitions of a group, mixing in-flight
+    (temp) per-env partial trajectories for group 0 exactly like
+    add_temp_data (diffusion_replay.py:282-322): each draw routes to the
+    temp store with probability temp_size / (temp_size + group_size).
+
+The per-env Python loop of add_to_buffer (diffusion_replay.py:59-71 — the
+reference's main CPU bottleneck) becomes a vectorized scatter keyed by
+per-env step counters, fully inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EpisodicReplay(NamedTuple):
+    # finished-trajectory slots
+    obs: jnp.ndarray            # [S, L+1, D]
+    action: jnp.ndarray         # [S, L, A]
+    reward: jnp.ndarray         # [S, L]
+    done: jnp.ndarray           # [S, L] bool  (true termination, XOR timeout)
+    length: jnp.ndarray         # [S] int32 (0 = empty)
+    success: jnp.ndarray        # [S] int32 goal id (0 = failure)
+    traj_id: jnp.ndarray        # [S] int32 (-1 = empty)
+    next_id: jnp.ndarray        # scalar int32
+    # per-group machinery
+    group_mask: jnp.ndarray     # [G, S] bool
+    target_action: jnp.ndarray  # [G, S, L, A]
+    # in-flight per-env episodes
+    tmp_obs: jnp.ndarray        # [E, L+1, D]
+    tmp_action: jnp.ndarray     # [E, L, A]
+    tmp_reward: jnp.ndarray     # [E, L]
+    tmp_done: jnp.ndarray       # [E, L] bool
+    tmp_len: jnp.ndarray        # [E] int32 (steps already stored)
+
+    @staticmethod
+    def create(capacity: int, max_len: int, num_envs: int, obs_dim: int,
+               action_dim: int, max_groups: int) -> "EpisodicReplay":
+        S, L, E, G = capacity, max_len, num_envs, max_groups
+        return EpisodicReplay(
+            obs=jnp.zeros((S, L + 1, obs_dim)),
+            action=jnp.zeros((S, L, action_dim)),
+            reward=jnp.zeros((S, L)),
+            done=jnp.zeros((S, L), bool),
+            length=jnp.zeros((S,), jnp.int32),
+            success=jnp.zeros((S,), jnp.int32),
+            traj_id=jnp.full((S,), -1, jnp.int32),
+            next_id=jnp.asarray(0, jnp.int32),
+            group_mask=jnp.zeros((G, S), bool).at[0].set(True),
+            target_action=jnp.zeros((G, S, L, action_dim)),
+            tmp_obs=jnp.zeros((E, L + 1, obs_dim)),
+            tmp_action=jnp.zeros((E, L, action_dim)),
+            tmp_reward=jnp.zeros((E, L)),
+            tmp_done=jnp.zeros((E, L), bool),
+            tmp_len=jnp.zeros((E,), jnp.int32),
+        )
+
+    @property
+    def capacity(self):
+        return self.obs.shape[0]
+
+    @property
+    def max_len(self):
+        return self.action.shape[1]
+
+    @property
+    def num_groups(self):
+        return self.group_mask.shape[0]
+
+
+def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
+        episode_end, success) -> EpisodicReplay:
+    """Record one vector-env transition; flush finished episodes to slots.
+
+    obs/next_obs [E, D], action [E, A], reward [E], done_bootstrap [E]
+    (true termination for TD bootstrapping), episode_end [E] (terminated or
+    truncated -> flush), success [E] int32 goal id at this step.
+    """
+    E = obs.shape[0]
+    t = buf.tmp_len                                   # [E] current step index
+    env_idx = jnp.arange(E)
+
+    tmp_obs = buf.tmp_obs.at[env_idx, t].set(obs)
+    tmp_obs = tmp_obs.at[env_idx, t + 1].set(next_obs)
+    tmp_action = buf.tmp_action.at[env_idx, t].set(action)
+    tmp_reward = buf.tmp_reward.at[env_idx, t].set(reward)
+    tmp_done = buf.tmp_done.at[env_idx, t].set(done_bootstrap.astype(bool))
+    new_len = t + 1
+
+    # ---- flush finished envs into trajectory slots -------------------------
+    finishing = episode_end.astype(bool)
+    n_fin = finishing.sum()
+
+    # slot choice: free slots first (traj_id == -1), then oldest ids.
+    # Finishing envs claim pool[0:n_fin]; non-finishing envs are parked on
+    # DISTINCT later pool slots where they no-op (write their current
+    # content back), so the scatter below never has duplicate indices.
+    assert buf.capacity >= 2 * E, "episodic capacity must be >= 2 * num_envs"
+    sort_key = jnp.where(buf.traj_id < 0, jnp.int32(-2**30), buf.traj_id)
+    pool = jnp.argsort(sort_key)[: 2 * E]              # [2E] candidate slots
+    rank_f = jnp.cumsum(finishing) - 1                 # rank among finishers
+    rank_nf = jnp.cumsum(~finishing) - 1
+    slot = jnp.where(finishing, pool[jnp.clip(rank_f, 0, E - 1)],
+                     pool[E + jnp.clip(rank_nf, 0, E - 1)])
+    write = finishing
+
+    def scatter_rows(dst, src):
+        # dst [S, ...], src [E, ...]; rows where write=False keep dst content
+        cur = dst[slot]
+        val = jnp.where(write.reshape((-1,) + (1,) * (src.ndim - 1)), src, cur)
+        return dst.at[slot].set(val)
+
+    new_ids = jnp.where(write, buf.next_id + rank_f, buf.traj_id[slot])
+
+    obs_s = scatter_rows(buf.obs, tmp_obs)
+    act_s = scatter_rows(buf.action, tmp_action)
+    rew_s = scatter_rows(buf.reward, tmp_reward)
+    don_s = scatter_rows(buf.done, tmp_done)
+    len_s = scatter_rows(buf.length, new_len)
+    suc_s = scatter_rows(buf.success, success.astype(jnp.int32))
+    tid_s = scatter_rows(buf.traj_id, new_ids)
+
+    # group 0 ("all trajectories") immediately includes fresh slots; other
+    # groups drop any slot that was overwritten
+    overwritten = jnp.zeros((buf.capacity,), bool).at[slot].set(write)
+    gmask = buf.group_mask & ~overwritten[None, :]
+    gmask = gmask.at[0].set(gmask[0] | overwritten)
+
+    # fresh trajectories start with target_action = raw actions in EVERY
+    # group row (reference: buf_target_action initialized to actions)
+    ta = buf.target_action
+    cur_ta = ta[:, slot]                               # [G, E, L, A]
+    val_ta = jnp.where(write[None, :, None, None], tmp_action[None], cur_ta)
+    ta = ta.at[:, slot].set(val_ta)
+
+    # reset finished envs' temp rows
+    zero = lambda x: jnp.where(
+        finishing.reshape((-1,) + (1,) * (x.ndim - 1)), jnp.zeros_like(x), x)
+    return buf._replace(
+        obs=obs_s, action=act_s, reward=rew_s, done=don_s, length=len_s,
+        success=suc_s, traj_id=tid_s, next_id=buf.next_id + n_fin,
+        group_mask=gmask, target_action=ta,
+        tmp_obs=zero(tmp_obs), tmp_action=zero(tmp_action),
+        tmp_reward=zero(tmp_reward), tmp_done=zero(tmp_done),
+        tmp_len=jnp.where(finishing, 0, new_len),
+    )
+
+
+class GroupBatch(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    target_action: jnp.ndarray
+    reward: jnp.ndarray
+    next_obs: jnp.ndarray
+    done: jnp.ndarray
+    slot: jnp.ndarray       # [b] trajectory slot of each sample
+    step: jnp.ndarray       # [b]
+    from_buffer: jnp.ndarray  # [b] bool (False -> in-flight temp sample)
+
+
+def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
+                 mix_temp: bool) -> GroupBatch:
+    """Uniform sample over the group's transitions (+ temp pool if group 0)."""
+    mask = buf.group_mask[group] & (buf.length > 0)
+    lens = jnp.where(mask, buf.length, 0)              # [S]
+    cum = jnp.cumsum(lens)
+    total_buf = cum[-1]
+    total_tmp = buf.tmp_len.sum() if mix_temp else jnp.asarray(0, jnp.int32)
+    total = jnp.maximum(total_buf + total_tmp, 1)
+
+    u = jax.random.randint(key, (batch,), 0, total)
+    from_buffer = u < jnp.maximum(total_buf, 1)
+    # guard against an entirely-empty buffer: route to temp if buffer empty
+    from_buffer = from_buffer & (total_buf > 0)
+
+    # buffer route: invert cumulative lengths
+    ub = jnp.clip(u, 0, jnp.maximum(total_buf - 1, 0))
+    slot = jnp.searchsorted(cum, ub, side="right").astype(jnp.int32)
+    slot = jnp.clip(slot, 0, buf.capacity - 1)
+    prev = jnp.where(slot > 0, cum[slot - 1], 0)
+    step = (ub - prev).astype(jnp.int32)
+    step = jnp.clip(step, 0, buf.max_len - 1)
+
+    # temp route
+    tcum = jnp.cumsum(buf.tmp_len)
+    ut = jnp.clip(u - total_buf, 0, jnp.maximum(total_tmp - 1, 0))
+    tenv = jnp.searchsorted(tcum, ut, side="right").astype(jnp.int32)
+    tenv = jnp.clip(tenv, 0, buf.tmp_len.shape[0] - 1)
+    tprev = jnp.where(tenv > 0, tcum[tenv - 1], 0)
+    tstep = jnp.clip((ut - tprev).astype(jnp.int32), 0, buf.max_len - 1)
+
+    def pick(buf_arr, tmp_arr, s_idx, t_idx):
+        a = buf_arr[slot, s_idx]
+        b = tmp_arr[tenv, t_idx]
+        return jnp.where(from_buffer.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+    obs = pick(buf.obs, buf.tmp_obs, step, tstep)
+    nobs = pick(buf.obs, buf.tmp_obs, step + 1, tstep + 1)
+    act = pick(buf.action, buf.tmp_action, step, tstep)
+    rew = pick(buf.reward, buf.tmp_reward, step, tstep)[:, None]
+    don = pick(buf.done, buf.tmp_done, step, tstep).astype(jnp.float32)[:, None]
+    tact = jnp.where(from_buffer[:, None],
+                     buf.target_action[group, slot, step],
+                     buf.tmp_action[tenv, tstep])
+    return GroupBatch(obs=obs, action=act, target_action=tact, reward=rew,
+                      next_obs=nobs, done=don, slot=slot, step=step,
+                      from_buffer=from_buffer)
+
+
+def write_target_actions(buf: EpisodicReplay, group: int, gb: GroupBatch,
+                         new_action) -> EpisodicReplay:
+    """Scatter improved actions back into the group's target-action row
+    (reference update_target_action, simple_replay.py:198-200); temp-routed
+    samples are skipped."""
+    cur = buf.target_action[group, gb.slot, gb.step]
+    val = jnp.where(gb.from_buffer[:, None], new_action, cur)
+    ta = buf.target_action.at[group, gb.slot, gb.step].set(val)
+    return buf._replace(target_action=ta)
+
+
+def set_groups(buf: EpisodicReplay, group_mask, parent_idx) -> EpisodicReplay:
+    """Host recluster result -> device tables.
+
+    group_mask: [G, S] bool (row 0 = all valid trajectories).
+    parent_idx: [G] int32; for each NEW group row, which OLD target-action
+    row to inherit (0 = explore row, -1 = reset to raw actions) — the
+    semantics of update_target_action_dim (simple_replay.py:186-196).
+    Row 0 always inherits old row 0.
+    """
+    src = jnp.clip(parent_idx, 0, buf.num_groups - 1)
+    inherited = buf.target_action[src]                       # [G, S, L, A]
+    raw = jnp.broadcast_to(buf.action[None], inherited.shape)
+    ta = jnp.where((parent_idx < 0)[:, None, None, None], raw, inherited)
+    return buf._replace(group_mask=group_mask.astype(bool), target_action=ta)

@@ -1,0 +1,199 @@
+"""Physics engine tests against analytic mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddiffpg_tpu.physics import engine, maze
+from ddiffpg_tpu.physics import types as T
+from ddiffpg_tpu.physics.ant import build_ant
+from ddiffpg_tpu.physics.builder import BodySpec, GeomSpec, JointSpec, build
+
+
+def _free_sphere(z0=5.0, **kw):
+    body = BodySpec("ball", "", joint=JointSpec(T.FREE),
+                    geoms=[GeomSpec(T.SPHERE, (0.1,), density=1000.0)])
+    init = np.zeros(7, np.float32)
+    init[2] = z0
+    init[3] = 1.0
+    return build([body], [], init_qpos=init, **kw)
+
+
+def _pendulum(damping=0.0, armature=0.0):
+    # point-ish mass at the end of a 1 m massless-ish rod, hinge at origin
+    body = BodySpec(
+        "rod", "", pos=(0, 0, 2.0),
+        joint=JointSpec(T.HINGE, axis=(0, 1, 0), damping=damping,
+                        armature=armature),
+        geoms=[GeomSpec(T.SPHERE, (0.05,), pos=(1.0, 0.0, 0.0),
+                        density=1000.0)])
+    return build([body], [("rod", 1.0)], dt=0.001, n_substeps=10)
+
+
+class TestFreeFall:
+    def test_ballistic(self):
+        m = _free_sphere(z0=5.0, dt=0.01, n_substeps=10)
+        qpos = jnp.asarray(m.init_qpos)
+        qvel = jnp.asarray(m.init_qvel).at[0].set(1.0)  # vx = 1
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(0)))
+        for _ in range(5):  # 0.5 s
+            qpos, qvel = step(qpos, qvel)
+        t = 0.5
+        np.testing.assert_allclose(qpos[2], 5.0 - 0.5 * 9.81 * t**2, atol=0.03)
+        np.testing.assert_allclose(qpos[0], 1.0 * t, atol=1e-3)
+        np.testing.assert_allclose(qvel[2], -9.81 * t, atol=0.02)
+
+    def test_spin_preserved(self):
+        m = _free_sphere(z0=50.0, dt=0.01, n_substeps=10)
+        qpos = jnp.asarray(m.init_qpos)
+        qvel = jnp.asarray(m.init_qvel).at[3:6].set(jnp.array([0.0, 0.0, 3.0]))
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(0)))
+        for _ in range(10):
+            qpos, qvel = step(qpos, qvel)
+        np.testing.assert_allclose(qvel[3:6], [0, 0, 3.0], atol=1e-4)
+
+
+class TestPendulum:
+    def test_energy_conservation(self):
+        m = _pendulum()
+        qpos = jnp.asarray(m.init_qpos).at[0].set(0.8)
+        qvel = jnp.asarray(m.init_qvel)
+        sphere_m = 1000.0 * 4 / 3 * np.pi * 0.05**3
+        I_hinge = sphere_m * 1.0**2 + 2 / 5 * sphere_m * 0.05**2
+
+        def energy(q, qd):
+            # pivot at z=2, bob at distance 1; height = 2 - is wrong: bob at
+            # (cos q, 0, 2 - ... rotation about +y axis: x' = cos(q)*1,
+            # z' = 2 - sin(q)? axis y: rotating x toward -z for positive q
+            x = np.cos(q)
+            z = 2.0 - np.sin(q)
+            return 0.5 * I_hinge * qd**2 + sphere_m * 9.81 * z
+
+        e0 = energy(0.8, 0.0)
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(1)))
+        for _ in range(100):  # 1 s at dt=1e-3
+            qpos, qvel = step(qpos, qvel)
+        e1 = energy(float(qpos[0]), float(qvel[0]))
+        assert abs(e1 - e0) / e0 < 0.02
+
+    def test_small_oscillation_frequency(self):
+        m = _pendulum()
+        sphere_m = 1000.0 * 4 / 3 * np.pi * 0.05**3
+        I_hinge = sphere_m * 1.0**2 + 2 / 5 * sphere_m * 0.05**2
+        omega = np.sqrt(sphere_m * 9.81 * 1.0 / I_hinge)
+        # equilibrium is q = pi/2 (bob hanging down); oscillate around it
+        qpos = jnp.asarray(m.init_qpos).at[0].set(np.pi / 2 + 0.05)
+        qvel = jnp.asarray(m.init_qvel)
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(1)))
+        angles = []
+        for _ in range(400):  # 4 s
+            qpos, qvel = step(qpos, qvel)
+            angles.append(float(qpos[0]) - np.pi / 2)
+        angles = np.array(angles)
+        crossings = np.where(np.diff(np.sign(angles)) != 0)[0]
+        half_period = np.diff(crossings).mean() * 0.01
+        np.testing.assert_allclose(np.pi / half_period, omega, rtol=0.05)
+
+    def test_gravity_torque_static(self):
+        """At angle 0 (bob horizontal) the bias torque equals m g l."""
+        m = _pendulum()
+        qpos = jnp.asarray(m.init_qpos)
+        qvel = jnp.asarray(m.init_qvel)
+        body_pos, body_quat = engine.fk(m, qpos)
+        S = engine.dof_subspaces(m, body_pos, body_quat)
+        u = engine.qvel_to_u(m, qvel, body_pos)
+        V = engine.body_velocities(m, S, u)
+        I6 = engine.spatial_inertia(m, body_pos, body_quat)
+        tau = engine.bias_forces(m, I6, S, V, u, jnp.zeros((m.nb, 6)))
+        sphere_m = 1000.0 * 4 / 3 * np.pi * 0.05**3
+        # positive rotation about +y lowers the bob -> gravity bias torque
+        np.testing.assert_allclose(tau[0], -sphere_m * 9.81 * 1.0, rtol=1e-3)
+
+
+class TestContacts:
+    def test_sphere_rests_on_plane(self):
+        m = _free_sphere(z0=0.3, dt=0.005, n_substeps=40)
+        qpos, qvel = jnp.asarray(m.init_qpos), jnp.asarray(m.init_qvel)
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(0)))
+        for _ in range(10):  # 2 s
+            qpos, qvel = step(qpos, qvel)
+        # settled near z = r with small penetration
+        assert 0.02 < float(qpos[2]) < 0.12
+        assert abs(float(qvel[2])) < 0.05
+        np.testing.assert_allclose(qpos[:2], 0.0, atol=1e-4)
+
+    def test_wall_blocks(self):
+        boxes = np.array([(((1.0, -5, 0.0)), ((2.0, 5, 3.0)))], np.float32)
+        m = _free_sphere(z0=0.1, dt=0.005, n_substeps=40)
+        m = type(m)(**{**m.__dict__, "static_box_min": boxes[:, 0],
+                       "static_box_max": boxes[:, 1], "nsb": 1})
+        qpos = jnp.asarray(m.init_qpos)
+        qvel = jnp.asarray(m.init_qvel).at[0].set(4.0)  # slam into the wall
+        step = jax.jit(lambda qp, qv: engine.step(m, qp, qv, jnp.zeros(0)))
+        for _ in range(10):  # 2 s
+            qpos, qvel = step(qpos, qvel)
+        # pushed back out of the wall (center < face x=1), never tunneled
+        assert float(qpos[0]) < 1.0
+
+
+class TestAnt:
+    def test_mass_properties(self):
+        m = build_ant()
+        assert m.nq == 15 and m.nv == 14 and m.nb == 9 and m.nu == 8
+        # torso: sphere 0.327 kg + 4 aux capsules
+        assert 0.3 < m.mass[0] < 0.6
+        assert 0.8 < m.mass.sum() < 1.2
+
+    def test_settles_upright(self):
+        m = build_ant(dt=0.005, n_substeps=20)
+        qpos, qvel = jnp.asarray(m.init_qpos), jnp.asarray(m.init_qvel)
+        step = jax.jit(lambda qp, qv, c: engine.step(m, qp, qv, c))
+        for _ in range(20):  # 2 s, zero action
+            qpos, qvel = step(qpos, qvel, jnp.zeros(8))
+        assert bool(jnp.all(jnp.isfinite(qpos))) and bool(jnp.all(jnp.isfinite(qvel)))
+        assert 0.2 <= float(qpos[2]) <= 1.0          # alive band (ant.py:84-86)
+        assert float(jnp.linalg.norm(qvel)) < 1.0    # roughly settled
+
+    def test_actions_move_it(self):
+        m = build_ant(dt=0.005, n_substeps=20)
+        qpos, qvel = jnp.asarray(m.init_qpos), jnp.asarray(m.init_qvel)
+        step = jax.jit(lambda qp, qv, c: engine.step(m, qp, qv, c))
+        key = jax.random.PRNGKey(0)
+        for i in range(30):
+            key, k = jax.random.split(key)
+            ctrl = jax.random.uniform(k, (8,), minval=-1, maxval=1)
+            qpos, qvel = step(qpos, qvel, ctrl)
+        assert bool(jnp.all(jnp.isfinite(qpos)))
+        moved = float(jnp.linalg.norm(qpos[:2]))
+        assert moved > 0.05  # random flailing displaces the torso
+
+    def test_crba_spd(self):
+        m = build_ant()
+        key = jax.random.PRNGKey(1)
+        qpos = jnp.asarray(m.init_qpos).at[7:].add(
+            jax.random.uniform(key, (8,), minval=-0.3, maxval=0.3))
+        body_pos, body_quat = engine.fk(m, qpos)
+        S = engine.dof_subspaces(m, body_pos, body_quat)
+        I6 = engine.spatial_inertia(m, body_pos, body_quat)
+        M = np.asarray(engine.crba(m, I6, S))
+        np.testing.assert_allclose(M, M.T, atol=1e-5)
+        assert np.linalg.eigvalsh(M).min() > 0
+
+
+class TestMaze:
+    def test_boxes_v1(self):
+        boxes = maze.compile_boxes(maze.MAZE_v1)
+        assert boxes.shape[0] == 17  # 16 border + 1 inner wall
+        # goal cell (-8, 0) must be free: no box contains it
+        inside = ((boxes[:, 0, 0] < -8) & (-8 < boxes[:, 1, 0])
+                  & (boxes[:, 0, 1] < 0) & (0 < boxes[:, 1, 1]))
+        assert not inside.any()
+        # origin (reset cell) free too
+        inside0 = ((boxes[:, 0, 0] < 0) & (0 < boxes[:, 1, 0])
+                   & (boxes[:, 0, 1] < 0) & (0 < boxes[:, 1, 1]))
+        assert not inside0.any()
+
+    def test_goals(self):
+        assert maze.GOALS["antmaze-v2"][0] == ((-8.0, 8.0), 20.0)
+        assert maze.EPISODE_LEN["antmaze-v3"] == 700

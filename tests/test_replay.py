@@ -1,0 +1,133 @@
+"""Replay buffer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddiffpg_tpu.replay import flat
+from ddiffpg_tpu.replay import episodic as ep
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestFlat:
+    def test_wraparound(self):
+        buf = flat.FlatReplay.create(10, 3, 2)
+        obs = jnp.arange(8, dtype=jnp.float32)[:, None].repeat(3, 1)
+        act = jnp.zeros((8, 2))
+        rew = jnp.ones((8,))
+        don = jnp.zeros((8,), bool)
+        buf = flat.add(buf, obs, act, rew, obs, don)
+        assert int(buf.size) == 8 and int(buf.ptr) == 8
+        buf = flat.add(buf, obs + 100, act, rew, obs, don)
+        assert int(buf.size) == 10 and int(buf.ptr) == 6
+        # rows 8,9 hold first two of second batch; rows 0..5 the rest
+        np.testing.assert_allclose(buf.obs[8, 0], 100.0)
+        np.testing.assert_allclose(buf.obs[5, 0], 107.0)
+        np.testing.assert_allclose(buf.obs[6, 0], 6.0)
+
+    def test_sample_and_writeback(self):
+        buf = flat.FlatReplay.create(100, 3, 2)
+        obs = jax.random.normal(KEY, (50, 3))
+        act = jax.random.normal(KEY, (50, 2))
+        buf = flat.add(buf, obs, act, jnp.zeros(50), obs, jnp.zeros(50, bool))
+        (o, a, ta, r, no, d), idx = flat.sample(buf, KEY, 16)
+        assert o.shape == (16, 3) and int(idx.max()) < 50
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ta))  # ta init = a
+        buf = flat.update_target_action(buf, idx, jnp.ones((16, 2)) * 7)
+        np.testing.assert_allclose(buf.target_action[idx], 7.0)
+
+
+def _mk(capacity=16, L=5, E=4, D=3, A=2, G=3):
+    return ep.EpisodicReplay.create(capacity, L, E, D, A, G)
+
+
+def _roll(buf, steps, done_at, E=4, D=3, A=2, succ_val=2):
+    """Run `steps` adds; envs in done_at (dict step->list of envs) finish."""
+    for t in range(steps):
+        obs = jnp.full((E, D), float(t))
+        nobs = jnp.full((E, D), float(t + 1))
+        act = jnp.full((E, A), float(t))
+        rew = jnp.full((E,), float(t))
+        endl = done_at.get(t, [])
+        end = jnp.asarray([e in endl for e in range(E)])
+        succ = jnp.where(end, succ_val, 0)
+        buf = ep.add(buf, obs, act, rew, nobs, end, end, succ)
+    return buf
+
+
+class TestEpisodic:
+    def test_flush_on_done(self):
+        buf = _mk()
+        buf = _roll(buf, 3, {2: [1, 3]})
+        # two trajectories stored, length 3
+        stored = np.where(np.asarray(buf.length) > 0)[0]
+        assert len(stored) == 2
+        np.testing.assert_array_equal(np.asarray(buf.length)[stored], [3, 3])
+        assert set(np.asarray(buf.traj_id)[stored].tolist()) == {0, 1}
+        np.testing.assert_array_equal(np.asarray(buf.success)[stored], [2, 2])
+        # temp counters: finished envs reset, others at 3
+        np.testing.assert_array_equal(np.asarray(buf.tmp_len), [3, 0, 3, 0])
+        # obs sequence intact: obs[slot, t] = t, terminal obs = 3
+        s = stored[0]
+        np.testing.assert_allclose(np.asarray(buf.obs)[s, :4, 0], [0, 1, 2, 3])
+        # group 0 contains the new slots
+        assert bool(np.asarray(buf.group_mask)[0][stored].all())
+
+    def test_sample_group0_mixes_temp(self):
+        buf = _mk()
+        buf = _roll(buf, 3, {1: [0]})
+        gb = ep.sample_group(buf, KEY, 0, 64, mix_temp=True)
+        frac_buf = float(gb.from_buffer.mean())
+        # 2 stored transitions vs 3*3+1 temp -> buffer fraction ~2/12
+        assert 0.02 < frac_buf < 0.45
+        assert bool(jnp.all(jnp.isfinite(gb.obs)))
+        # next_obs = obs + 1 everywhere (by construction)
+        np.testing.assert_allclose(np.asarray(gb.next_obs - gb.obs), 1.0)
+
+    def test_target_action_roundtrip(self):
+        buf = _mk()
+        buf = _roll(buf, 4, {2: [0, 1, 2, 3]})
+        gb = ep.sample_group(buf, KEY, 1, 8, mix_temp=False)
+        # group 1 empty -> give it all slots first
+        gm = np.array(buf.group_mask)
+        gm[1] = np.asarray(buf.length) > 0
+        buf = buf._replace(group_mask=jnp.asarray(gm))
+        gb = ep.sample_group(buf, jax.random.PRNGKey(1), 1, 8, mix_temp=False)
+        assert bool(gb.from_buffer.all())
+        new_a = jnp.full((8, 2), 9.0)
+        buf = ep.write_target_actions(buf, 1, gb, new_a)
+        got = buf.target_action[1, gb.slot, gb.step]
+        np.testing.assert_allclose(np.asarray(got), 9.0)
+        # other group rows untouched
+        got0 = buf.target_action[0, gb.slot, gb.step]
+        assert not np.allclose(np.asarray(got0), 9.0)
+
+    def test_set_groups_parent_remap(self):
+        buf = _mk()
+        buf = _roll(buf, 4, {2: [0, 1, 2, 3]})
+        # write distinctive values into group-0 row
+        gm0 = buf.group_mask
+        ta = buf.target_action.at[0].set(5.0)
+        buf = buf._replace(target_action=ta)
+        S = buf.capacity
+        new_mask = jnp.zeros((3, S), bool).at[0].set(buf.length > 0)
+        new_mask = new_mask.at[1].set(buf.length > 0)
+        parent = jnp.asarray([0, 0, -1])  # grp1 inherits explore, grp2 raw
+        buf = ep.set_groups(buf, new_mask, parent)
+        np.testing.assert_allclose(np.asarray(buf.target_action[1]), 5.0)
+        # grp2 = raw actions: stored action value at step t is t (len 3)
+        stored = np.where(np.asarray(buf.length) > 0)[0]
+        np.testing.assert_allclose(
+            np.asarray(buf.target_action[2, stored[0], :3, 0]), [0, 1, 2])
+
+    def test_eviction_oldest(self):
+        buf = _mk(capacity=8, E=4)
+        # fill all 8 slots (2 rounds of 4 finishing), then 4 more
+        buf = _roll(buf, 2, {0: [0, 1, 2, 3], 1: [0, 1, 2, 3]})
+        assert int((buf.length > 0).sum()) == 8
+        first_ids = np.sort(np.asarray(buf.traj_id))
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]})
+        ids = np.sort(np.asarray(buf.traj_id))
+        # oldest 4 (ids 0..3) evicted, 8..11 added
+        assert ids.min() == 4 and ids.max() == 11
