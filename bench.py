@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: AntMaze env steps/sec at 4096 parallel envs.
+
+Measures the fully-jitted collect loop — diffusion-policy action (K=5 DDPM
+reverse steps) + from-scratch rigid-body physics step (20 substeps) + sparse
+reward/termination/auto-reset — on the real TPU chip, replacing the
+reference's 256 CPU subprocess MuJoCo workers + per-step host<->device
+round trips (SURVEY.md §2.3).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env_steps/sec", "vs_baseline": N}
+vs_baseline is measured against the 1M steps/s north star
+(/root/repo/BASELINE.json; the reference publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion"):
+    from ddiffpg_tpu.envs import make
+    from ddiffpg_tpu.models.diffusion import DiffusionPolicy
+    from ddiffpg_tpu.ops.embedding import append_embedding
+
+    env = make("antmaze-v1", num_envs=num_envs, random_init=True)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+
+    emb_dim = 5
+    actor = DiffusionPolicy(action_dim=env.action_dim, diffusion_iter=5)
+    params = actor.init(key, jnp.zeros((1, env.action_dim)), jnp.zeros((1,)),
+                        jnp.zeros((1, env.obs_dim + emb_dim)))
+
+    @jax.jit
+    def rollout(state, obs, key):
+        def body(carry, k):
+            state, obs = carry
+            if policy == "diffusion":
+                cond = append_embedding(obs, jnp.zeros(emb_dim))
+                act = actor.apply(params, k, cond, method=DiffusionPolicy.act)
+            else:
+                act = jax.random.uniform(k, (num_envs, env.action_dim),
+                                         minval=-1.0, maxval=1.0)
+            state, obs, rew, done, info = env.step(state, act)
+            return (state, obs), rew.sum()
+        keys = jax.random.split(key, n_steps)
+        (state, obs), rews = jax.lax.scan(body, (state, obs), keys)
+        return state, obs, rews.sum()
+
+    # compile + warm
+    t0 = time.time()
+    state, obs, _ = jax.block_until_ready(rollout(state, obs, key))
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    reps = 3
+    for i in range(reps):
+        state, obs, _ = rollout(state, obs, jax.random.fold_in(key, i))
+    jax.block_until_ready((state, obs))
+    dt = time.time() - t0
+
+    steps_per_sec = num_envs * n_steps * reps / dt
+    result = {
+        "metric": f"antmaze_env_steps_per_sec@{num_envs}envs_{policy}_policy",
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/sec",
+        "vs_baseline": round(steps_per_sec / 1_000_000, 4),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "compile_s": round(compile_s, 1),
+            "steady_state_s_per_ctrl_step": round(dt / (n_steps * reps), 5),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, _, v = a.partition("=")
+        kw[k] = int(v) if v.isdigit() else v
+    main(**kw)

@@ -17,6 +17,37 @@ import optax
 from ddiffpg_tpu.ops import distributional, noise as noise_ops
 
 
+# --- data-parallel gradient reduction hook ---------------------------------
+# When a train step runs inside shard_map over a mesh axis (parallel/dp.py),
+# this axis name is set during tracing and every optimizer update pmean-s its
+# gradients across shards first — the DP allreduce, riding ICI.
+_PMEAN_AXIS: Optional[str] = None
+
+
+class data_parallel:
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def __enter__(self):
+        global _PMEAN_AXIS
+        self._prev = _PMEAN_AXIS
+        _PMEAN_AXIS = self.axis
+
+    def __exit__(self, *a):
+        global _PMEAN_AXIS
+        _PMEAN_AXIS = self._prev
+
+
+def pmean_axis() -> Optional[str]:
+    return _PMEAN_AXIS
+
+
+def maybe_pmean(tree):
+    if _PMEAN_AXIS is not None:
+        return jax.lax.pmean(tree, _PMEAN_AXIS)
+    return tree
+
+
 def make_optimizer(lr: float, max_grad_norm: Optional[float], weight_decay=True):
     opt = optax.adamw(lr) if weight_decay else optax.adam(lr, eps=1e-5)
     if max_grad_norm is not None:
@@ -25,6 +56,7 @@ def make_optimizer(lr: float, max_grad_norm: Optional[float], weight_decay=True)
 
 
 def apply_update(tx, params, opt_state, grads):
+    grads = maybe_pmean(grads)
     gnorm = optax.global_norm(grads)
     updates, opt_state = tx.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), opt_state, gnorm
@@ -42,7 +74,8 @@ class Tracker(NamedTuple):
 
     @staticmethod
     def create(window: int) -> "Tracker":
-        return Tracker(buf=jnp.zeros((window,)), ptr=jnp.asarray(0, jnp.int32))
+        # ptr is shape-[1] so the whole tracker shards cleanly per-device
+        return Tracker(buf=jnp.zeros((window,)), ptr=jnp.zeros((1,), jnp.int32))
 
     def mean(self):
         return self.buf.mean()
@@ -53,7 +86,7 @@ def tracker_push_masked(tr: Tracker, values, mask) -> Tracker:
     Formulated as a gather over window positions (no scatter conflicts)."""
     W = tr.buf.shape[0]
     rank = jnp.cumsum(mask) - 1
-    pos = (tr.ptr + rank) % W
+    pos = (tr.ptr[0] + rank) % W
     hit = mask[None, :] & (pos[None, :] == jnp.arange(W)[:, None])  # [W, E]
     land = hit.any(axis=1)
     src = jnp.argmax(hit, axis=1)

@@ -1,0 +1,466 @@
+"""AgentDDiffPG — multimodal diffusion policy gradient on TPU.
+
+Reference: `/root/reference/ddiffpg/algo/ddiffpg.py`. Architecture notes:
+
+  * Critics for all groups (explore + up to `max_modes` behavior modes)
+    live as ONE stacked parameter pytree with a leading [G_max] axis; an
+    update touches row i via indexed gather/scatter, and recluster events
+    apply the Q-scheduler plan as a single gather + masked optimizer reset
+    (vs. the reference's Python lists of deep-copied torch modules).
+  * One training iteration (explore step(s) + update_times update passes
+    over all groups) is a single jitted, donated-state XLA program,
+    specialized on the current group count (recompiles at most
+    `max_modes` times per run, when the cluster count changes).
+  * Trajectory clustering runs host-side at eval cadence (modes/cluster.py)
+    with the DTW distances computed by the on-device wavefront kernel.
+  * The critic consumes RAW observations; only the actor is conditioned on
+    (obs ++ embedding) — matching ddiffpg.py:239-265 where `update_critic`
+    gets raw obs and the embedding only enters through the target-policy
+    actions and the actor distillation batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddiffpg_tpu.agents import base
+from ddiffpg_tpu.intrinsic import IntrinsicModule, IntrinsicState
+from ddiffpg_tpu.models.diffusion import DiffusionPolicy
+from ddiffpg_tpu.models.mlp import DistributionalDoubleQ
+from ddiffpg_tpu.modes.cluster import ClusterManager
+from ddiffpg_tpu.ops import noise as noise_ops
+from ddiffpg_tpu.ops.embedding import add_embedding, append_embedding
+from ddiffpg_tpu.replay import episodic as ep
+from ddiffpg_tpu.utils import density
+
+
+class DDiffPGState(NamedTuple):
+    actor_params: Any
+    actor_opt: Any
+    critics: Any            # stacked [G_max, ...] pytrees
+    critic_targets: Any
+    critic_opts: Any
+    embeddings: jnp.ndarray  # [G_max, E]; row 0 = explore embedding
+    intrinsic: IntrinsicState
+    replay: ep.EpisodicReplay
+    env_state: Any
+    obs: jnp.ndarray
+    stats: base.EpisodeStats
+    key: jax.Array
+    global_step: jnp.ndarray
+    density_grid: jnp.ndarray
+
+
+def _pos_dim(env_name: str) -> int:
+    return 2 if ("antmaze" in env_name or "pointmaze" in env_name) else 3
+
+
+class AgentDDiffPG:
+    name = "DDiffPG"
+
+    def __init__(self, env, cfg):
+        self.env = env
+        self.cfg = cfg
+        a = cfg.algo
+        self.obs_dim = env.obs_dim
+        self.action_dim = env.action_dim
+        self.embed_dim = a.embedding_dim
+        self.G_max = a.max_modes + 1
+
+        self.actor = DiffusionPolicy(
+            action_dim=self.action_dim,
+            diffusion_iter=cfg.diffusion.diffusion_iter)
+        self.critic = DistributionalDoubleQ(
+            v_min=a.v_min, v_max=a.v_max, num_atoms=a.num_atoms)
+        self.actor_tx = base.make_optimizer(a.actor_lr, a.max_grad_norm)
+        self.critic_tx = base.make_optimizer(a.critic_lr, a.max_grad_norm)
+        self.intrinsic = IntrinsicModule(
+            self.obs_dim, kind=cfg.intrinsic.type,
+            pos_dim=_pos_dim(cfg.env.name), normalize=cfg.intrinsic.normalize,
+            pos_enc=cfg.intrinsic.pos_enc, L=cfg.intrinsic.L,
+            warm_up=cfg.intrinsic.warm_up)
+
+        self.cluster_manager = ClusterManager(
+            capacity=int(a.memory_size), max_modes=a.max_modes,
+            threshold=a.cluster_threshold,
+            use_downsampling=a.use_downsampling,
+            traj_dim=_pos_dim(cfg.env.name), seed=cfg.seed)
+        self.num_groups = 1              # host-side static group count
+        self.num_clusters = 0
+        self.last_plot = None
+        self.last_unsuccess_plot = None
+
+        # density / coverage tracking (antmaze only)
+        if "antmaze" in cfg.env.name or "pointmaze" in cfg.env.name:
+            from ddiffpg_tpu.physics import maze as maze_mod
+
+            maze_name = cfg.env.name.replace("pointmaze", "antmaze")
+            self._maze_map = maze_mod.MAZES[maze_name]
+            grid, reset, self._num_free = density.create_grid(
+                self._maze_map, cfg.env.resolution)
+            # leading size-1 axis so the grid shards per-device under DP
+            self._density_grid0 = jnp.asarray(grid)[None]
+            self._density_reset = jnp.asarray(reset)
+        else:
+            self._maze_map = None
+            self._density_grid0 = jnp.zeros((1, 1, 1), jnp.int32)
+            self._density_reset = jnp.zeros((2,), jnp.int64)
+            self._num_free = 1
+
+        self._iter_cache = {}
+        self._warmup_jit = jax.jit(self._warmup_impl, donate_argnums=0,
+                                   static_argnums=1)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key) -> DDiffPGState:
+        k_actor, k_critic, k_int, k_env, k_emb, key = jax.random.split(key, 6)
+        a = self.cfg.algo
+        dummy_obs = jnp.zeros((1, self.obs_dim))
+        dummy_emb_obs = jnp.zeros((1, self.obs_dim + self.embed_dim))
+        dummy_act = jnp.zeros((1, self.action_dim))
+
+        actor_params = self.actor.init(
+            k_actor, dummy_act, jnp.zeros((1,)), dummy_emb_obs)
+        critic0 = self.critic.init(k_critic, dummy_obs, dummy_act)
+        # stacked critics: all rows start as copies of the explore critic
+        stack = lambda p: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.G_max,) + x.shape).copy(), p)
+        critics = stack(critic0)
+        critic_opts = jax.vmap(self.critic_tx.init)(critics)
+
+        env_state, obs = self.env.reset(k_env)
+        embeddings = jax.random.normal(k_emb, (self.G_max, self.embed_dim))
+
+        return DDiffPGState(
+            actor_params=actor_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critics=critics,
+            critic_targets=jax.tree.map(jnp.copy, critics),
+            critic_opts=critic_opts,
+            embeddings=embeddings,
+            intrinsic=self.intrinsic.init(k_int),
+            replay=ep.EpisodicReplay.create(
+                int(a.memory_size), self.env.max_episode_length,
+                self.env.num_envs, self.obs_dim, self.action_dim, self.G_max),
+            env_state=env_state, obs=obs,
+            stats=base.EpisodeStats.create(self.env.num_envs, a.tracker_len),
+            key=key, global_step=jnp.asarray(0, jnp.int32),
+            density_grid=self._density_grid0,
+        )
+
+    # ----------------------------------------------------------- exploration
+
+    def _embed_for_explore(self, key, obs, ts, p):
+        a = self.cfg.algo
+        if a.exp.mode_embedding and a.use_embedding:
+            modes = ts.embeddings[1:]
+            num_modes = max(self.num_groups - 1, 0)
+        else:
+            modes, num_modes = None, 0
+        return add_embedding(key, obs, ts.embeddings[0], p, modes, num_modes)
+
+    def _env_step(self, ts: DDiffPGState, p, random: bool):
+        key, k_emb, k_act, k_noise, k_rand = jax.random.split(ts.key, 5)
+        if random:
+            action = jax.random.uniform(
+                k_rand, (self.env.num_envs, self.action_dim),
+                minval=-1.0, maxval=1.0)
+        else:
+            emb_obs = self._embed_for_explore(k_emb, ts.obs, ts, p)
+            action = self.actor.apply(ts.actor_params, k_act, emb_obs,
+                                      method=DiffusionPolicy.act)
+            nz = self.cfg.algo.noise
+            if nz.type == "mixed":
+                action = noise_ops.add_mixed_normal_noise(
+                    k_noise, action, std_min=nz.std_min, std_max=nz.std_max,
+                    out_bounds=(-1, 1))
+            else:
+                action = noise_ops.add_normal_noise(
+                    k_noise, action, nz.std_max, out_bounds=(-1, 1))
+
+        env_state, next_obs, reward, done, info = self.env.step(
+            ts.env_state, action)
+        stats = base.update_stats(ts.stats, reward, done)
+        if self.cfg.algo.handle_timeout:
+            done_b = jnp.logical_xor(done.astype(bool), info["time_outs"])
+        else:
+            done_b = done.astype(bool)
+
+        grid = ts.density_grid
+        if self._maze_map is not None:
+            grid = grid.at[0].set(density.update(
+                grid[0], ts.obs[:, :2], 4.0, self._density_reset,
+                len(self._maze_map)))
+
+        replay = ep.add(ts.replay, ts.obs, action,
+                        reward * self.cfg.algo.reward_scale, next_obs,
+                        done_b, done.astype(bool), info["success"])
+
+        return ts._replace(
+            env_state=env_state, obs=next_obs, replay=replay, stats=stats,
+            key=key, global_step=ts.global_step + self.env.num_envs,
+            density_grid=grid)
+
+    def _warmup_impl(self, ts, timesteps: int):
+        def body(carry, _):
+            return self._env_step(carry, 0.0, random=True), None
+
+        ts, _ = jax.lax.scan(body, ts, None, length=timesteps)
+        return ts
+
+    def warmup(self, ts: DDiffPGState) -> DDiffPGState:
+        return self._warmup_jit(ts, int(self.cfg.algo.warm_up))
+
+    # --------------------------------------------------------------- updates
+
+    def _group_sizes(self, G: int):
+        B = self.cfg.algo.batch_size
+        sizes = [B // G] * G
+        sizes[0] += B % G
+        return sizes
+
+    def _row(self, tree, i):
+        return jax.tree.map(lambda x: x[i], tree)
+
+    def _set_row(self, tree, i, row):
+        return jax.tree.map(lambda x, r: x.at[i].set(r), tree, row)
+
+    def _update_once(self, ts: DDiffPGState, key, G: int):
+        a = self.cfg.algo
+        keys = jax.random.split(key, 4 * G + 2)
+        sizes = self._group_sizes(G)
+
+        state_list, action_list = [], []
+        c_losses, c_gnorms, r_int_all = [], [], []
+        all_obs, all_next = [], []
+        replay = ts.replay
+        critics, targets, opts = ts.critics, ts.critic_targets, ts.critic_opts
+
+        for i in range(G):
+            k_s, k_tgt, k_emb2, k_int = keys[4 * i: 4 * i + 4]
+            gb = ep.sample_group(replay, k_s, i, sizes[i], mix_temp=(i == 0))
+            r_int, intr = self.intrinsic.compute_reward(
+                ts.intrinsic, gb.obs, gb.next_obs)
+            ts = ts._replace(intrinsic=intr)
+            r_int_all.append(r_int)
+            all_obs.append(gb.obs)
+            all_next.append(gb.next_obs)
+
+            if i == 0:
+                emb = ts.embeddings[0]
+                reward = r_int                       # intrinsic-only
+                emb_state = append_embedding(gb.obs, emb)
+                emb_next = append_embedding(gb.next_obs, emb)
+            else:
+                if a.use_embedding:
+                    emb = ts.embeddings[i]
+                else:
+                    emb = jnp.zeros(self.embed_dim)
+                reward = gb.reward + r_int
+                # reference uses add_embedding's default p=0.5 here
+                emb_state = add_embedding(k_emb2, gb.obs, emb, 0.5)
+                emb_next = add_embedding(k_emb2, gb.next_obs, emb, 0.5)
+
+            # --- critic row i (C51 BCE; explore row = intrinsic reward) ----
+            crit_p = self._row(critics, i)
+            crit_t = self._row(targets, i)
+            crit_o = self._row(opts, i)
+
+            next_actions = base.tgt_policy_action(
+                k_tgt,
+                lambda k, o: self.actor.apply(ts.actor_params, k, o,
+                                              method=DiffusionPolicy.act),
+                emb_next, a.noise)
+            loss_fn = base.distributional_critic_loss(
+                lambda p, o, ac: self.critic.apply(p, o, ac),
+                crit_p, crit_t, self.critic.z_atoms,
+                gb.obs, gb.action, reward, gb.next_obs, next_actions,
+                gb.done, a.gamma ** a.nstep, a.v_min, a.v_max, a.num_atoms)
+            loss, grads = jax.value_and_grad(loss_fn)(crit_p)
+            crit_p, crit_o, gnorm = base.apply_update(
+                self.critic_tx, crit_p, crit_o, grads)
+            crit_t = base.soft_update(crit_t, crit_p, a.tau)
+            critics = self._set_row(critics, i, crit_p)
+            targets = self._set_row(targets, i, crit_t)
+            opts = self._set_row(opts, i, crit_o)
+            c_losses.append(loss)
+            c_gnorms.append(gnorm)
+
+            # --- target-action improvement + writeback ---------------------
+            q_min = lambda o, ac: self.critic.apply(
+                crit_p, o, ac, method=DistributionalDoubleQ.q_min)
+            new_action = base.action_gradient(
+                q_min, gb.obs, gb.target_action,
+                n_steps=self.cfg.diffusion.update_times,
+                lr=self.cfg.diffusion.action_lr,
+                max_grad_norm=a.max_grad_norm)
+            replay = ep.write_target_actions(replay, i, gb, new_action)
+
+            state_list.append(emb_state)
+            action_list.append(new_action)
+
+        ts = ts._replace(replay=replay, critics=critics,
+                         critic_targets=targets, critic_opts=opts)
+
+        # --- actor distillation over all groups -----------------------------
+        k_loss = keys[-2]
+        states = jnp.concatenate(state_list)
+        tgt_actions = jnp.concatenate(action_list)
+
+        def actor_loss_fn(params):
+            return self.actor.apply(params, k_loss, states, tgt_actions,
+                                    method=DiffusionPolicy.loss)
+
+        a_loss, grads = jax.value_and_grad(actor_loss_fn)(ts.actor_params)
+        aparams, aopt, a_gnorm = base.apply_update(
+            self.actor_tx, ts.actor_params, ts.actor_opt, grads)
+        ts = ts._replace(actor_params=aparams, actor_opt=aopt)
+
+        # --- RND update -----------------------------------------------------
+        obs_cat = jnp.concatenate(all_obs)
+        next_cat = jnp.concatenate(all_next)
+        if self.cfg.intrinsic.type == "noveld":
+            intr, d_loss, d_gnorm = self.intrinsic.update(
+                ts.intrinsic, jnp.concatenate([obs_cat, next_cat]))
+        else:
+            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, obs_cat)
+        ts = ts._replace(intrinsic=intr)
+
+        logs = {
+            "train/critic_loss": jnp.mean(jnp.stack(c_losses)),
+            "train/critic_grad": jnp.mean(jnp.stack(c_gnorms)),
+            "train/actor_loss": a_loss,
+            "train/actor_grad": a_gnorm,
+            "train/dynamic_loss": d_loss,
+            "train/dynamic_grad": d_gnorm,
+            "train/mean_action": jnp.abs(tgt_actions).mean(),
+            "train/mean_intrinsic": jnp.concatenate(r_int_all).mean(),
+        }
+        return ts, logs
+
+    def _train_iter_impl(self, ts: DDiffPGState, p, G: int):
+        for _ in range(self.cfg.algo.horizon_len):
+            ts = self._env_step(ts, p, random=False)
+
+        def body(carry, key):
+            carry, logs = self._update_once(carry, key, G)
+            return carry, logs
+
+        key, *keys = jax.random.split(ts.key, self.cfg.algo.update_times + 1)
+        ts = ts._replace(key=key)
+        ts, logs = jax.lax.scan(body, ts, jnp.stack(keys))
+        logs = jax.tree.map(jnp.mean, logs)
+        logs["train/return"] = ts.stats.return_tracker.mean()
+        logs["train/episode_length"] = ts.stats.step_tracker.mean()
+        logs["train/p"] = jnp.asarray(p)
+        if self._maze_map is not None:
+            # under DP the per-shard grids are pmean-ed: counts become
+            # fractional but (>0) still marks any-shard visitation
+            g = base.maybe_pmean(ts.density_grid.astype(jnp.float32))
+            logs["train/state_coverage"] = density.coverage(
+                g[0], self._num_free)
+        return ts, logs
+
+    def train_iter(self, ts: DDiffPGState):
+        G = self.num_groups
+        if G not in self._iter_cache:
+            self._iter_cache[G] = jax.jit(
+                partial(self._train_iter_impl, G=G), donate_argnums=0)
+        p = self.get_exp_p(int(ts.global_step))
+        return self._iter_cache[G](ts, p)
+
+    # ------------------------------------------------------- explore ratio p
+
+    def get_exp_p(self, steps: int) -> float:
+        """Reference get_exp_p (ddiffpg.py:112-137)."""
+        a = self.cfg.algo
+        G = self.num_groups
+        explore_n = self._group_sizes(G)[0]
+        if a.exp.type == "fixed":
+            p = min(a.exp.fix_ratio, 1 - explore_n / a.batch_size)
+        elif a.exp.type == "prop":
+            p = 1 - explore_n / a.batch_size
+        elif a.exp.type == "linear":
+            if self.num_clusters == 0:
+                p = 0.0
+            else:
+                if not hasattr(self, "_lin_start"):
+                    self._lin_start = steps
+                    self._lin_total = max(
+                        (a.exp.stop_ratio * self.cfg.max_step - steps)
+                        // self.cfg.num_envs, 1)
+                it = (steps - self._lin_start) / max(self.cfg.num_envs, 1)
+                p = min(it / self._lin_total, 1.0)
+        else:
+            raise NotImplementedError(a.exp.type)
+        if steps >= a.exp.stop_ratio * self.cfg.max_step:
+            p = 1.0
+        return float(p)
+
+    # ------------------------------------------------------------- recluster
+
+    def update_cluster(self, ts: DDiffPGState) -> DDiffPGState:
+        """Host-side: pull trajectory metadata, recluster, apply the plan."""
+        traj_id = np.asarray(ts.replay.traj_id)
+        length = np.asarray(ts.replay.length)
+        success = np.asarray(ts.replay.success)
+        pos_dim = self.cluster_manager.traj_dim
+        tracks = np.asarray(ts.replay.obs[:, :, :pos_dim])
+
+        res = self.cluster_manager.recluster(traj_id, length, success, tracks)
+        plan = res.plan
+        self.num_groups = res.num_groups
+        self.num_clusters = res.num_groups - 1
+        self.last_plot = (res.plot_success, res.plot_clusters, res.Z)
+
+        replay = ts.replay
+        # evict slots
+        if len(res.evict_slots):
+            sl = jnp.asarray(res.evict_slots)
+            replay = replay._replace(
+                length=replay.length.at[sl].set(0),
+                traj_id=replay.traj_id.at[sl].set(-1),
+            )
+        # group membership + target-action inheritance
+        replay = ep.set_groups(replay, jnp.asarray(res.group_mask),
+                               jnp.asarray(plan.parent_row))
+
+        # critic rows: gather parents, reset optimizers where fresh
+        src = jnp.asarray(plan.src_row)
+        gather = lambda t: jax.tree.map(lambda x: x[src], t)
+        critics = gather(ts.critics)
+        targets = gather(ts.critic_targets)
+        opts_gathered = gather(ts.critic_opts)
+        fresh_opts = jax.vmap(self.critic_tx.init)(critics)
+        fmask = jnp.asarray(plan.fresh_opt)
+
+        def mix(f, g):
+            m = fmask.reshape((-1,) + (1,) * (g.ndim - 1)) if g.ndim else fmask
+            return jnp.where(m, f, g)
+
+        opts = jax.tree.map(mix, fresh_opts, opts_gathered)
+
+        # embeddings: inherit or fresh random
+        key = jax.random.fold_in(ts.key, int(ts.global_step))
+        fresh_emb = jax.random.normal(key, ts.embeddings.shape)
+        esrc = jnp.asarray(plan.embedding_src)
+        inherited = ts.embeddings[jnp.clip(esrc, 0, self.G_max - 1)]
+        embeddings = jnp.where((esrc >= 0)[:, None], inherited, fresh_emb)
+
+        return ts._replace(replay=replay, critics=critics,
+                           critic_targets=targets, critic_opts=opts,
+                           embeddings=embeddings)
+
+    # ------------------------------------------------------------ evaluation
+
+    def eval_actor(self, params, key, obs):
+        """Eval policy: zero embedding (ddiffpg_main.py:87-89)."""
+        emb_obs = append_embedding(obs, jnp.zeros(self.embed_dim))
+        return self.actor.apply(params, key, emb_obs,
+                                method=DiffusionPolicy.act)

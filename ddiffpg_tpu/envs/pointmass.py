@@ -18,7 +18,9 @@ from ddiffpg_tpu.physics import maze
 
 class PointMazeEnv:
     def __init__(self, name: str = "pointmaze-v1", max_episode_steps: int = 100,
-                 dt: float = 0.1, size_scaling: float = 4.0):
+                 dt: float = 0.1, size_scaling: float = 4.0,
+                 reward_type: str = "sparse"):
+        self.reward_type = reward_type
         maze_name = name.replace("pointmaze", "antmaze")
         self.maze_map = maze.MAZES[maze_name]
         self.boxes = maze.compile_boxes(self.maze_map, size_scaling)
@@ -70,6 +72,8 @@ class PointMazeEnv:
         reached = hit.any()
         goal_id = jnp.where(reached, jnp.argmax(hit) + 1, 0).astype(jnp.int32)
         reward = jnp.where(reached, self.goal_reward[jnp.argmax(hit)], 0.0)
+        if self.reward_type == "dense":
+            reward = reward - 0.05 * d.min()
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps

@@ -100,6 +100,9 @@ class IntrinsicModule:
             return jnp.mean((pred - tgt) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        from ddiffpg_tpu.agents import base as _base
+
+        grads = _base.maybe_pmean(grads)
         gnorm = optax.global_norm(grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

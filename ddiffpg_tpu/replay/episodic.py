@@ -45,7 +45,7 @@ class EpisodicReplay(NamedTuple):
     length: jnp.ndarray         # [S] int32 (0 = empty)
     success: jnp.ndarray        # [S] int32 goal id (0 = failure)
     traj_id: jnp.ndarray        # [S] int32 (-1 = empty)
-    next_id: jnp.ndarray        # scalar int32
+    next_id: jnp.ndarray        # [1] int32 (shape-1 so it shards per-device)
     # per-group machinery
     group_mask: jnp.ndarray     # [G, S] bool
     target_action: jnp.ndarray  # [G, S, L, A]
@@ -68,7 +68,7 @@ class EpisodicReplay(NamedTuple):
             length=jnp.zeros((S,), jnp.int32),
             success=jnp.zeros((S,), jnp.int32),
             traj_id=jnp.full((S,), -1, jnp.int32),
-            next_id=jnp.asarray(0, jnp.int32),
+            next_id=jnp.zeros((1,), jnp.int32),
             group_mask=jnp.zeros((G, S), bool).at[0].set(True),
             target_action=jnp.zeros((G, S, L, action_dim)),
             tmp_obs=jnp.zeros((E, L + 1, obs_dim)),
@@ -133,7 +133,7 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
         val = jnp.where(write.reshape((-1,) + (1,) * (src.ndim - 1)), src, cur)
         return dst.at[slot].set(val)
 
-    new_ids = jnp.where(write, buf.next_id + rank_f, buf.traj_id[slot])
+    new_ids = jnp.where(write, buf.next_id[0] + rank_f, buf.traj_id[slot])
 
     obs_s = scatter_rows(buf.obs, tmp_obs)
     act_s = scatter_rows(buf.action, tmp_action)

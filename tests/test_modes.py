@@ -1,0 +1,99 @@
+"""DTW kernel, linkage, and Q-scheduler tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddiffpg_tpu.modes.linkage import fcluster_distance, linkage_average
+from ddiffpg_tpu.modes.q_scheduler import QScheduler
+from ddiffpg_tpu.ops.dtw import dtw_batch, dtw_numpy
+
+
+class TestDTW:
+    def test_matches_numpy_dp(self):
+        rng = np.random.RandomState(0)
+        L = 24
+        A = rng.randn(4, L, 2).astype(np.float32)
+        B = rng.randn(4, L, 2).astype(np.float32)
+        la = np.array([24, 10, 17, 3], np.int32)
+        lb = np.array([24, 20, 5, 3], np.int32)
+        got = np.asarray(dtw_batch(jnp.asarray(A), jnp.asarray(B),
+                                   jnp.asarray(la), jnp.asarray(lb)))
+        for k in range(4):
+            want = dtw_numpy(A[k, :la[k]].astype(np.float64),
+                             B[k, :lb[k]].astype(np.float64))
+            np.testing.assert_allclose(got[k], want, rtol=1e-4)
+
+    def test_identical_zero(self):
+        x = np.random.RandomState(1).randn(1, 16, 2).astype(np.float32)
+        d = dtw_batch(jnp.asarray(x), jnp.asarray(x),
+                      jnp.asarray([16]), jnp.asarray([16]))
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-3)
+
+
+class TestLinkage:
+    def test_matches_scipy_heights(self):
+        from scipy.cluster.hierarchy import linkage as scipy_linkage
+        from scipy.spatial.distance import squareform
+
+        rng = np.random.RandomState(2)
+        pts = rng.randn(40, 2)
+        D = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        Z_got = linkage_average(D)
+        Z_want = scipy_linkage(squareform(D), method="average")
+        np.testing.assert_allclose(Z_got[:, 2], Z_want[:, 2], rtol=1e-8)
+        np.testing.assert_allclose(Z_got[:, 3], Z_want[:, 3])
+
+    def test_fcluster_matches_scipy(self):
+        from scipy.cluster.hierarchy import fcluster, linkage as scipy_linkage
+        from scipy.spatial.distance import squareform
+
+        rng = np.random.RandomState(3)
+        # two well-separated blobs + noise
+        pts = np.concatenate([rng.randn(15, 2), rng.randn(15, 2) + 8])
+        D = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        Z = linkage_average(D)
+        for thr in (2.0, 5.0, 0.7 * Z[:, 2].max()):
+            got = fcluster_distance(Z, len(pts), thr)
+            want = fcluster(scipy_linkage(squareform(D), method="average"),
+                            t=thr, criterion="distance")
+            # same partition up to label permutation
+            gmap = {}
+            ok = True
+            for g, w in zip(got, want):
+                if g in gmap:
+                    ok &= gmap[g] == w
+                gmap[g] = w
+            assert ok and len(set(got)) == len(set(want))
+
+
+class TestQScheduler:
+    def test_first_cluster_fresh(self):
+        s = QScheduler(max_groups=11)
+        plan = s.update_cluster([[1, 2], [3, 4]])
+        assert plan.num_groups == 3
+        assert plan.src_row[1] == 0 and plan.src_row[2] == 0
+        assert plan.fresh_opt[1] and plan.fresh_opt[2]
+        assert plan.embedding_src[1] == -1
+
+    def test_inheritance_and_clone(self):
+        s = QScheduler(max_groups=11)
+        s.update_cluster([[1, 2, 3], [10, 11, 12]])
+        # cluster 0 splits into two; both overlap old cluster 1 (=row 1)
+        plan = s.update_cluster([[1, 2], [3], [10, 11, 12]])
+        # row1: first claim of old row1 -> inherited (no fresh opt)
+        assert plan.src_row[1] == 1 and not plan.fresh_opt[1]
+        assert plan.embedding_src[1] == 1
+        # row2: duplicate claim -> clone with fresh opt, fresh embedding
+        # (overlap 1 < overlap 2 of the first claimant)
+        assert plan.src_row[2] == 1 and plan.fresh_opt[2]
+        assert plan.embedding_src[2] == -1
+        # row3: old row2 inherited
+        assert plan.src_row[3] == 2 and not plan.fresh_opt[3]
+
+    def test_no_overlap_clones_explore(self):
+        s = QScheduler(max_groups=11)
+        s.update_cluster([[1, 2]])
+        plan = s.update_cluster([[99, 100]])
+        assert plan.src_row[1] == 0 and plan.fresh_opt[1]
+        assert plan.parent_row[1] == 0

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Training entry point — DDiffPG and the DIPO/TD3/SAC baselines.
+
+Covers both reference scripts (`/root/reference/scripts/ddiffpg_main.py`,
+`baselines_main.py`). Usage:
+
+    python train.py algo=ddiffpg env.name=antmaze-v1 num_envs=256
+    python train.py algo=td3 env.name=antmaze-v1
+    python train.py algo=ddiffpg env.name=pointmaze-v1 num_envs=64 \
+        max_step=200000            # fast debug config
+
+Dotted key=value pairs override the typed config (ddiffpg_tpu/config.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv):
+    algo = "ddiffpg"
+    overrides = []
+    for a in argv:
+        if a.startswith("algo="):
+            algo = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    return algo, overrides
+
+
+def main(argv=None):
+    from ddiffpg_tpu import config as C
+    from ddiffpg_tpu.agents import make_agent
+    from ddiffpg_tpu.agents.evaluation import eval_rollout
+    from ddiffpg_tpu.envs import make
+    from ddiffpg_tpu.utils import checkpoint as ckpt
+    from ddiffpg_tpu.utils.logger import Logger
+
+    algo, overrides = parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = C.Config(algo=C.algo_preset(algo))
+    cfg = cfg.override_strings(overrides)
+    cfg = C.preprocess(cfg, if_ddiffpg=(algo.lower() == "ddiffpg"))
+    cfg = cfg.override_strings(overrides)   # CLI wins over per-env presets
+
+    logger = Logger(cfg.logdir, cfg.run_name, cfg.use_wandb,
+                    dataclasses.asdict(cfg))
+    logger.console(f"algo={cfg.algo.name} env={cfg.env.name} "
+                   f"num_envs={cfg.num_envs} max_step={cfg.max_step} "
+                   f"devices={jax.devices()}")
+
+    env_kw = {}
+    if "antmaze" in cfg.env.name:
+        env_kw = dict(reward_type=cfg.env.reward_type,
+                      random_init=cfg.env.random_init)
+    env = make(cfg.env.name, num_envs=cfg.num_envs, **env_kw)
+    eval_env = make(cfg.env.name, num_envs=cfg.eval_num_envs, **env_kw)
+
+    agent = make_agent(cfg.algo.name, env, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    ts = agent.init(key)
+
+    logger.console(f"warmup: {cfg.algo.warm_up} random steps x "
+                   f"{cfg.num_envs} envs")
+    t0 = time.time()
+    ts = agent.warmup(ts)
+    jax.block_until_ready(ts)
+    logger.console(f"warmup done in {time.time() - t0:.1f}s")
+
+    is_ddiffpg = cfg.algo.name == "DDiffPG"
+    if is_ddiffpg:
+        ts = agent.update_cluster(ts)
+        logger.console(f"initial clusters: {agent.num_clusters}")
+
+    eval_key = jax.random.PRNGKey(cfg.seed + 1)
+    global_steps = int(ts.global_step) if not hasattr(ts, "core") \
+        else int(ts.core.global_step)
+    iter_t = 0
+    steps_per_iter = cfg.algo.horizon_len * cfg.num_envs
+    t_last, s_last = time.time(), global_steps
+
+    while global_steps < cfg.max_step:
+        if iter_t % cfg.eval_freq == 0:
+            if is_ddiffpg and iter_t > 0:
+                ts = agent.update_cluster(ts)
+                logger.console(f"recluster -> {agent.num_clusters} modes")
+
+            actor_params = ts.actor_params if not hasattr(ts, "core") \
+                else ts.core.actor_params
+            eval_key, k = jax.random.split(eval_key)
+            metrics, xy = eval_rollout(
+                eval_env, lambda kk, o: agent.eval_actor(actor_params, kk, o),
+                k)
+            metrics = {k2: float(v) for k2, v in metrics.items()}
+            logger.log(metrics, global_steps)
+            logger.console(
+                f"iter {iter_t} steps {global_steps}: "
+                f"eval return {metrics['eval/return']:.2f} "
+                f"success {metrics['eval/success_rate']:.2f} "
+                f"len {metrics['eval/episode_length']:.0f}")
+
+            if "maze" in cfg.env.name:
+                from ddiffpg_tpu.utils import plotting
+
+                try:
+                    maze_name = cfg.env.name.replace("pointmaze", "antmaze")
+                    from ddiffpg_tpu.physics.maze import MAZES
+
+                    img = plotting.plot_traj(MAZES[maze_name],
+                                             np.asarray(xy).reshape(-1, 2))
+                    logger.log_image("eval/map", img, global_steps)
+                except Exception as e:
+                    logger.console(f"plotting failed: {e}")
+
+            if iter_t % (cfg.eval_freq * cfg.ckpt_freq_mult) == 0 and iter_t:
+                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts,
+                          {"num_groups": getattr(agent, "num_groups", 1)})
+
+        ts, logs = agent.train_iter(ts)
+        global_steps += steps_per_iter
+        iter_t += 1
+
+        if iter_t % cfg.log_freq == 0:
+            logs = {k2: float(v) for k2, v in logs.items()}
+            logs["global_steps"] = global_steps
+            if time.time() - t_last > 30:
+                sps = (global_steps - s_last) / (time.time() - t_last)
+                logs["train/env_steps_per_sec"] = sps
+                logger.console(
+                    f"iter {iter_t} steps {global_steps} "
+                    f"({sps:,.0f} steps/s) return "
+                    f"{logs.get('train/return', float('nan')):.2f}")
+                t_last, s_last = time.time(), global_steps
+            logger.log(logs, global_steps)
+
+    ckpt.save(logger.dir / "ckpt_final.pkl", ts,
+              {"num_groups": getattr(agent, "num_groups", 1)})
+    logger.console("done")
+    return ts
+
+
+if __name__ == "__main__":
+    main()
