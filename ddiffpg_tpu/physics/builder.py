@@ -211,8 +211,27 @@ def build(bodies: List[BodySpec], actuators: List[Tuple[str, float]],
         sb = np.asarray(static_boxes, np.float32)   # [n, 2, 3] (min, max)
         sb_min, sb_max = sb[:, 0], sb[:, 1]
 
-    act_dof = np.array([jnt_dofadr[name_to_idx[n]] for n, _ in actuators], np.int64)
-    act_gear = np.array([g for _, g in actuators], np.float32)
+    # actuators: tuple (body_name, gear) -> torque motor; dict with keys
+    # {body, kp, kd, force} -> position servo
+    act_dof, act_gear, act_type, act_kp, act_kd, act_force = [], [], [], [], [], []
+    for a in actuators:
+        if isinstance(a, dict):
+            act_dof.append(jnt_dofadr[name_to_idx[a["body"]]])
+            act_gear.append(1.0)
+            act_type.append(1)
+            act_kp.append(a.get("kp", 100.0))
+            act_kd.append(a.get("kd", 20.0))
+            act_force.append(a.get("force", 100.0))
+        else:
+            n, g = a
+            act_dof.append(jnt_dofadr[name_to_idx[n]])
+            act_gear.append(g)
+            act_type.append(0)
+            act_kp.append(0.0)
+            act_kd.append(0.0)
+            act_force.append(0.0)
+    act_dof = np.array(act_dof, np.int64)
+    act_gear = np.array(act_gear, np.float32)
 
     if init_qpos is None:
         init_qpos = np.zeros(nq, np.float32)
@@ -234,7 +253,11 @@ def build(bodies: List[BodySpec], actuators: List[Tuple[str, float]],
         geom_size=np.array(geom_size, np.float32),
         geom_friction=np.array(geom_fric, np.float32), ng=ng,
         static_box_min=sb_min, static_box_max=sb_max, nsb=len(sb_min),
-        act_dof=act_dof, act_gear=act_gear, nu=len(act_dof),
+        act_dof=act_dof, act_gear=act_gear,
+        act_type=np.array(act_type, np.int64),
+        act_kp=np.array(act_kp, np.float32),
+        act_kd=np.array(act_kd, np.float32),
+        act_force=np.array(act_force, np.float32), nu=len(act_dof),
         init_qpos=np.asarray(init_qpos, np.float32),
         init_qvel=np.zeros(nv, np.float32),
         **model_kwargs,

@@ -3,19 +3,24 @@
 Design notes (TPU-first):
   * All spatial (6D) quantities are expressed at the WORLD ORIGIN
     ([angular; linear-at-origin] motion vectors). In these coordinates
-    composite inertias simply add, so CRBA needs no frame transforms, and
-    every per-body op is a handful of 3-vector ops that XLA fuses cleanly
-    when the whole `step` is vmapped over thousands of envs.
-  * The kinematic tree is tiny (<= ~12 bodies) and static, so Python loops
-    over bodies unroll at trace time; the env batch is the vector axis.
+    composite inertias simply add and ancestor/subtree accumulations are
+    plain matrix products with static 0/1 masks — so CRBA, velocity and
+    bias propagation are each a handful of batched einsums instead of
+    per-body loops (XLA op-dispatch overhead dominates tiny tensors; the
+    vectorized form cuts ~1000 HLO ops per substep to ~100).
+  * Only forward kinematics walks the tree, grouped by (depth, joint type)
+    so sibling bodies process as one batched op per level.
   * The root free joint's internal velocity coordinates are
     (v_origin, omega): with these, every dof subspace is fixed in the
     parent body, making the Coriolis term exactly v_parent x (S qdot).
     State.qvel stores the MuJoCo-like (v_body_origin, omega) and is
     converted at the boundary.
   * Contacts are penalty-based (spring-damper normal + smooth Coulomb
-    friction), replacing MuJoCo's soft-constraint solver
-    (low_gear_ant.xml solref=".02 1"); stiffness/damping live on Model.
+    friction) with solref-style mass-scaled gains, replacing MuJoCo's
+    soft-constraint solver (low_gear_ant.xml solref=".02 1").
+  * M x = b is solved by a fully-unrolled batched Cholesky:
+    XLA's library Cholesky lowers to a loop-heavy custom call that costs
+    ~20 ms per substep for [1024, 14, 14] on TPU (measured) vs ~us here.
 
 Replaces: MuJoCo 2.1 C (`/root/reference/ddiffpg/env/d4rl/locomotion/ant.py:57,75`)
 and PyBullet C++ stepping (`/root/reference/ddiffpg/env/panda_gym/pybullet.py:53-69`).
@@ -32,6 +37,43 @@ import numpy as np
 from ddiffpg_tpu.physics import quat as Q
 from ddiffpg_tpu.physics.types import BOX, CAPSULE, FIXED, FREE, HINGE, PLANE, SLIDE, SPHERE, Model
 
+_STRUCT_CACHE: dict = {}
+
+
+def _structure(m: Model):
+    """Static tree structure (numpy, trace-time): depth-grouped levels,
+    subtree mask SUB[i,j] (j in subtree of i, incl. self), and the
+    lower-triangular ancestor-dof mask."""
+    key = id(m)
+    if key in _STRUCT_CACHE:
+        return _STRUCT_CACHE[key]
+    nb, nv = m.nb, m.nv
+    depth = np.zeros(nb, int)
+    for i in range(nb):
+        p = int(m.parent[i])
+        depth[i] = 0 if p < 0 else depth[p] + 1
+    levels = []
+    for d in range(int(depth.max()) + 1):
+        for jt in (FREE, HINGE, SLIDE, FIXED):
+            ids = np.where((depth == d) & (m.jnt_type == jt))[0]
+            if len(ids):
+                levels.append((jt, ids))
+    SUB = np.zeros((nb, nb), np.float32)
+    for j in range(nb):
+        i = j
+        while i >= 0:
+            SUB[i, j] = 1.0
+            i = int(m.parent[i])
+    anc = np.zeros((nv, nv), np.float32)
+    for d in range(nv):
+        bd = int(m.dof_body[d])
+        for e in range(d + 1):
+            if SUB[int(m.dof_body[e]), bd]:
+                anc[d, e] = 1.0
+    out = (depth, levels, SUB, anc)
+    _STRUCT_CACHE[key] = out
+    return out
+
 
 def _skew(v):
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
@@ -43,86 +85,95 @@ def _skew(v):
     ], -2)
 
 
-def cross_motion(v, m):
-    """Spatial cross product v x m for motion vectors [w; v_o]."""
-    w, vo = v[:3], v[3:]
-    mw, mv = m[:3], m[3:]
-    return jnp.concatenate([jnp.cross(w, mw), jnp.cross(w, mv) + jnp.cross(vo, mw)])
+def cross_motion(v, mvec):
+    """Spatial cross v x m for motion vectors [..., 6] = [w; v_o]."""
+    w, vo = v[..., :3], v[..., 3:]
+    mw, mv = mvec[..., :3], mvec[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, mw), jnp.cross(w, mv) + jnp.cross(vo, mw)], axis=-1)
 
 
 def cross_force(v, f):
-    """Spatial cross product v x* f for force vectors [n_o; f]."""
-    w, vo = v[:3], v[3:]
-    n, fl = f[:3], f[3:]
-    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(vo, fl), jnp.cross(w, fl)])
+    """Spatial cross v x* f for force vectors [..., 6] = [n_o; f]."""
+    w, vo = v[..., :3], v[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n) + jnp.cross(vo, fl), jnp.cross(w, fl)], axis=-1)
 
 
 # ----------------------------------------------------------------- kinematics
 
 def fk(m: Model, qpos):
-    """Forward kinematics. Returns world body positions [nb,3], quats [nb,4]."""
-    pos, quat = [], []
-    for i in range(m.nb):
-        p = int(m.parent[i])
-        if m.jnt_type[i] == FREE:
-            pos.append(qpos[m.jnt_qposadr[i]: m.jnt_qposadr[i] + 3])
-            quat.append(qpos[m.jnt_qposadr[i] + 3: m.jnt_qposadr[i] + 7])
+    """Forward kinematics, level-batched. Returns world positions [nb, 3]
+    and quaternions [nb, 4]."""
+    _, levels, _, _ = _structure(m)
+    pos = jnp.zeros((m.nb, 3))
+    quat = jnp.zeros((m.nb, 4)).at[:, 0].set(1.0)
+    for jt, ids in levels:
+        qa = m.jnt_qposadr[ids]
+        if jt == FREE:
+            vals = qpos[qa[:, None] + np.arange(7)[None]]   # [g, 7]
+            pos = pos.at[ids].set(vals[:, :3])
+            quat = quat.at[ids].set(vals[:, 3:7])
             continue
-        pp = pos[p] if p >= 0 else jnp.zeros(3)
-        pq = quat[p] if p >= 0 else Q.identity()
-        p0 = pp + Q.rotate(pq, jnp.asarray(m.body_pos[i]))
-        q0 = Q.mul(pq, jnp.asarray(m.body_quat[i]))
-        if m.jnt_type[i] == HINGE:
-            ang = qpos[m.jnt_qposadr[i]]
-            qj = Q.from_axis_angle(jnp.asarray(m.jnt_axis[i]), ang)
+        par = np.maximum(m.parent[ids], 0)
+        is_root = (m.parent[ids] < 0)[:, None]
+        pp = jnp.where(is_root, 0.0, pos[par])
+        pq = jnp.where(is_root, jnp.array([1.0, 0.0, 0.0, 0.0]), quat[par])
+        p0 = pp + Q.rotate(pq, jnp.asarray(m.body_pos[ids]))
+        q0 = Q.mul(pq, jnp.asarray(m.body_quat[ids]))
+        if jt == HINGE:
+            ang = qpos[qa]
+            qj = Q.from_axis_angle(jnp.asarray(m.jnt_axis[ids]), ang)
             qn = Q.mul(q0, qj)
-            anchor = jnp.asarray(m.jnt_pos[i])
+            anchor = jnp.asarray(m.jnt_pos[ids])
             pn = p0 + Q.rotate(q0, anchor) - Q.rotate(qn, anchor)
-            pos.append(pn)
-            quat.append(qn)
-        elif m.jnt_type[i] == SLIDE:
-            d = qpos[m.jnt_qposadr[i]]
-            pos.append(p0 + Q.rotate(q0, jnp.asarray(m.jnt_axis[i])) * d)
-            quat.append(q0)
+        elif jt == SLIDE:
+            qn = q0
+            pn = p0 + Q.rotate(q0, jnp.asarray(m.jnt_axis[ids])) \
+                * qpos[qa][:, None]
         else:  # FIXED
-            pos.append(p0)
-            quat.append(q0)
-    return jnp.stack(pos), jnp.stack(quat)
+            qn, pn = q0, p0
+        pos = pos.at[ids].set(pn)
+        quat = quat.at[ids].set(qn)
+    return pos, quat
 
 
 def dof_subspaces(m: Model, body_pos, body_quat):
-    """Motion subspace S [nv, 6] for every dof, world-origin coordinates."""
-    S = [None] * m.nv
+    """Motion subspaces S [nv, 6], world-origin coordinates, one batched op
+    per joint kind."""
+    # constant rows for free joints: dofs (v_origin x3, omega x3)
+    base = np.zeros((m.nv, 6), np.float32)
     for i in range(m.nb):
-        d = int(m.jnt_dofadr[i])
         if m.jnt_type[i] == FREE:
-            for k in range(3):  # v_origin dofs
-                e = jnp.zeros(3).at[k].set(1.0)
-                S[d + k] = jnp.concatenate([jnp.zeros(3), e])
-            for k in range(3):  # omega dofs (axis through origin)
-                e = jnp.zeros(3).at[k].set(1.0)
-                S[d + 3 + k] = jnp.concatenate([e, jnp.zeros(3)])
-        elif m.jnt_type[i] == HINGE:
-            w = Q.rotate(body_quat[i], jnp.asarray(m.jnt_axis[i]))
-            a = body_pos[i] + Q.rotate(body_quat[i], jnp.asarray(m.jnt_pos[i]))
-            S[d] = jnp.concatenate([w, jnp.cross(a, w)])
-        elif m.jnt_type[i] == SLIDE:
-            w = Q.rotate(body_quat[i], jnp.asarray(m.jnt_axis[i]))
-            S[d] = jnp.concatenate([jnp.zeros(3), w])
-    return jnp.stack(S)
+            d = int(m.jnt_dofadr[i])
+            base[d: d + 3, 3:] = np.eye(3)
+            base[d + 3: d + 6, :3] = np.eye(3)
+    S = jnp.asarray(base)
+
+    hinge = np.where(m.jnt_type == HINGE)[0]
+    if len(hinge):
+        hd = m.jnt_dofadr[hinge]
+        bq = body_quat[hinge]
+        w = Q.rotate(bq, jnp.asarray(m.jnt_axis[hinge]))
+        a = body_pos[hinge] + Q.rotate(bq, jnp.asarray(m.jnt_pos[hinge]))
+        S = S.at[hd].set(jnp.concatenate([w, jnp.cross(a, w)], axis=-1))
+    slide = np.where(m.jnt_type == SLIDE)[0]
+    if len(slide):
+        sd = m.jnt_dofadr[slide]
+        w = Q.rotate(body_quat[slide], jnp.asarray(m.jnt_axis[slide]))
+        S = S.at[sd].set(jnp.concatenate([jnp.zeros_like(w), w], axis=-1))
+    return S
 
 
 def qvel_to_u(m: Model, qvel, body_pos):
-    """MuJoCo-style free-joint velocities (v_p, omega) -> internal
-    (v_origin, omega). Hinge/slide dofs pass through."""
+    """(v_p, omega) -> internal (v_origin, omega) for free joints."""
     u = qvel
     for i in range(m.nb):
         if m.jnt_type[i] == FREE:
             d = int(m.jnt_dofadr[i])
-            vp = qvel[d: d + 3]
-            w = qvel[d + 3: d + 6]
-            vo = vp - jnp.cross(w, body_pos[i])
-            u = u.at[d: d + 3].set(vo)
+            vp, w = qvel[d: d + 3], qvel[d + 3: d + 6]
+            u = u.at[d: d + 3].set(vp - jnp.cross(w, body_pos[i]))
     return u
 
 
@@ -131,126 +182,85 @@ def u_to_qvel(m: Model, u, body_pos):
     for i in range(m.nb):
         if m.jnt_type[i] == FREE:
             d = int(m.jnt_dofadr[i])
-            vo = u[d: d + 3]
-            w = u[d + 3: d + 6]
+            vo, w = u[d: d + 3], u[d + 3: d + 6]
             qvel = qvel.at[d: d + 3].set(vo + jnp.cross(w, body_pos[i]))
     return qvel
 
 
+def _joint_vel(m: Model, S, u):
+    """Per-body joint velocity contribution vJ [nb, 6] (segment-sum of
+    S qdot over each body's dofs)."""
+    return jax.ops.segment_sum(S * u[:, None], jnp.asarray(m.dof_body),
+                               num_segments=m.nb)
+
+
 def body_velocities(m: Model, S, u):
-    """Spatial velocity [nb, 6] of each body at the world origin."""
-    V = []
-    for i in range(m.nb):
-        p = int(m.parent[i])
-        v = V[p] if p >= 0 else jnp.zeros(6)
-        d, nd = int(m.jnt_dofadr[i]), _ndof(m, i)
-        for k in range(nd):
-            v = v + S[d + k] * u[d + k]
-        V.append(v)
-    return jnp.stack(V)
-
-
-def _ndof(m: Model, i: int) -> int:
-    t = int(m.jnt_type[i])
-    return 6 if t == FREE else (0 if t == FIXED else 1)
-
-
-def _ancestors(m: Model, i: int):
-    out = []
-    while i >= 0:
-        out.append(i)
-        i = int(m.parent[i])
-    return out
+    """V[i] = sum of vJ over ancestors-or-self — one masked matmul."""
+    _, _, SUB, _ = _structure(m)
+    vJ = _joint_vel(m, S, u)
+    return jnp.einsum("ji,jk->ik", jnp.asarray(SUB), vJ)
 
 
 # ------------------------------------------------------------------ dynamics
 
 def spatial_inertia(m: Model, body_pos, body_quat):
     """Per-body 6x6 spatial inertia about the world origin [nb, 6, 6]."""
-    out = []
-    for i in range(m.nb):
-        R = Q.to_matrix(body_quat[i])
-        c = body_pos[i] + R @ jnp.asarray(m.com[i])
-        Ic = R @ jnp.asarray(m.inertia[i]) @ R.T
-        mi = float(m.mass[i])
-        cx = _skew(c)
-        top_left = Ic - mi * (cx @ cx)
-        top_right = mi * cx
-        I6 = jnp.block([[top_left, top_right],
-                        [-top_right, mi * jnp.eye(3)]])
-        out.append(I6)
-    return jnp.stack(out)
+    R = Q.to_matrix(body_quat)                                   # [nb, 3, 3]
+    c = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com))
+    Ic = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(m.inertia), R)
+    mass = jnp.asarray(m.mass)[:, None, None]
+    cx = _skew(c)
+    tl = Ic - mass * (cx @ cx)
+    tr = mass * cx
+    eye = jnp.broadcast_to(jnp.eye(3), (m.nb, 3, 3))
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([-tr, mass * eye], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)                  # [nb, 6, 6]
 
 
 def crba(m: Model, I6, S):
-    """Composite rigid-body algorithm -> mass matrix [nv, nv]."""
-    Ic = [I6[i] for i in range(m.nb)]
-    for i in range(m.nb - 1, -1, -1):
-        p = int(m.parent[i])
-        if p >= 0:
-            Ic[p] = Ic[p] + Ic[i]
-    M = jnp.zeros((m.nv, m.nv))
-    for i in range(m.nb):
-        d, nd = int(m.jnt_dofadr[i]), _ndof(m, i)
-        for k in range(nd):
-            F = Ic[i] @ S[d + k]
-            for j in _ancestors(m, i):
-                dj, ndj = int(m.jnt_dofadr[j]), _ndof(m, j)
-                for l in range(ndj):
-                    val = S[dj + l] @ F
-                    M = M.at[d + k, dj + l].set(val)
-                    M = M.at[dj + l, d + k].set(val)
-    M = M + jnp.diag(jnp.asarray(m.dof_armature))
-    return M
+    """Composite-rigid-body mass matrix as three einsums + a mask."""
+    _, _, SUB, anc = _structure(m)
+    Ic = jnp.einsum("ij,jkl->ikl", jnp.asarray(SUB), I6)         # composite
+    F = jnp.einsum("dkl,dl->dk", Ic[jnp.asarray(m.dof_body)], S)  # [nv, 6]
+    M_full = jnp.einsum("dk,ek->de", F, S)                       # F[d].S[e]
+    Mv = M_full * jnp.asarray(anc)                               # lower tri
+    M = Mv + Mv.T - jnp.diag(jnp.diag(Mv))
+    return M + jnp.diag(jnp.asarray(m.dof_armature))
 
 
 def bias_forces(m: Model, I6, S, V, u, f_ext):
-    """RNEA with qacc = 0: returns tau_bias [nv] such that
-    M qacc = tau_applied - tau_bias. Includes gravity, Coriolis/centrifugal
-    and external spatial forces f_ext [nb, 6] (world-origin force vectors,
-    applied TO each body; they reduce the bias)."""
+    """RNEA with qacc = 0 (gravity + Coriolis - external), vectorized.
+    Returns tau_bias [nv] such that M qacc = tau_applied - tau_bias."""
+    _, _, SUB, _ = _structure(m)
+    SUBj = jnp.asarray(SUB)
     g = jnp.asarray(m.gravity)
-    a0 = jnp.concatenate([jnp.zeros(3), -g])  # gravity as base acceleration
-    A = []
-    for i in range(m.nb):
-        p = int(m.parent[i])
-        a = A[p] if p >= 0 else a0
-        v_parent = V[p] if p >= 0 else jnp.zeros(6)
-        d, nd = int(m.jnt_dofadr[i]), _ndof(m, i)
-        vJ = jnp.zeros(6)
-        for k in range(nd):
-            vJ = vJ + S[d + k] * u[d + k]
-        A.append(a + cross_motion(v_parent, vJ))
+    a0 = jnp.concatenate([jnp.zeros(3), -g])
 
-    F = []
-    for i in range(m.nb):
-        f = I6[i] @ A[i] + cross_force(V[i], I6[i] @ V[i]) - f_ext[i]
-        F.append(f)
-    for i in range(m.nb - 1, -1, -1):
-        p = int(m.parent[i])
-        if p >= 0:
-            F[p] = F[p] + F[i]
+    vJ = _joint_vel(m, S, u)
+    parent = np.maximum(m.parent, 0)
+    Vp = jnp.where((m.parent < 0)[:, None], 0.0, V[parent])
+    c = cross_motion(Vp, vJ)                                     # [nb, 6]
+    A = a0[None] + jnp.einsum("ji,jk->ik", SUBj, c)
 
-    tau = jnp.zeros(m.nv)
-    for i in range(m.nb):
-        d, nd = int(m.jnt_dofadr[i]), _ndof(m, i)
-        for k in range(nd):
-            tau = tau.at[d + k].set(S[d + k] @ F[i])
-    return tau
+    IA = jnp.einsum("ikl,il->ik", I6, A)
+    IV = jnp.einsum("ikl,il->ik", I6, V)
+    f = IA + cross_force(V, IV) - f_ext
+    F_sub = jnp.einsum("ij,jk->ik", SUBj, f)
+    return jnp.einsum("dk,dk->d", S, F_sub[jnp.asarray(m.dof_body)])
 
 
 def passive_torques(m: Model, qpos, u):
     """Joint damping + soft joint-limit torques on 1-dof joints."""
-    tau = jnp.zeros(m.nv)
-    damping = jnp.asarray(m.dof_damping)
-    tau = tau - damping * u
+    tau = -jnp.asarray(m.dof_damping) * u
+    one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]
+    if len(one_dof):
+        qa, da = m.jnt_qposadr[one_dof], m.jnt_dofadr[one_dof]
+        qd = jnp.zeros(m.nv).at[da].set(qpos[qa])
+    else:
+        qd = jnp.zeros(m.nv)
     lo = jnp.asarray(m.dof_limit_lo)
     hi = jnp.asarray(m.dof_limit_hi)
-    # map hinge/slide qpos onto dofs
-    qd = jnp.zeros(m.nv)
-    for i in range(m.nb):
-        if m.jnt_type[i] in (HINGE, SLIDE):
-            qd = qd.at[int(m.jnt_dofadr[i])].set(qpos[int(m.jnt_qposadr[i])])
     over = jnp.maximum(qd - hi, 0.0)
     under = jnp.maximum(lo - qd, 0.0)
     active = (over > 0) | (under > 0)
@@ -262,53 +272,50 @@ def passive_torques(m: Model, qpos, u):
 # ------------------------------------------------------------------ contacts
 
 def _geom_world(m: Model, body_pos, body_quat):
-    gp, gq = [], []
-    for gi in range(m.ng):
-        b = int(m.geom_body[gi])
-        p = body_pos[b] + Q.rotate(body_quat[b], jnp.asarray(m.geom_pos[gi]))
-        q = Q.mul(body_quat[b], jnp.asarray(m.geom_quat[gi]))
-        gp.append(p)
-        gq.append(q)
-    return jnp.stack(gp), jnp.stack(gq)
+    gb = jnp.asarray(m.geom_body)
+    p = body_pos[gb] + Q.rotate(body_quat[gb], jnp.asarray(m.geom_pos))
+    q = Q.mul(body_quat[gb], jnp.asarray(m.geom_quat))
+    return p, q
 
 
 def _sphere_points(m: Model, gpos, gquat):
-    """Contact probe spheres: sphere geoms give 1, capsules give their two
-    end caps. Returns (points [npts,3], radii [npts], geom index [npts])."""
-    pts, rads, gidx = [], [], []
+    """Contact probe spheres: sphere geoms give 1, capsules their two end
+    caps. Static layout -> one gather + one batched rotate."""
+    probes = []   # (geom index, end: -1/0/+1)
     for gi in range(m.ng):
         t = int(m.geom_type[gi])
         if t == SPHERE:
-            pts.append(gpos[gi])
-            rads.append(float(m.geom_size[gi][0]))
-            gidx.append(gi)
+            probes.append((gi, 0.0))
         elif t == CAPSULE:
-            r, h = float(m.geom_size[gi][0]), float(m.geom_size[gi][1])
-            axis = Q.rotate(gquat[gi], jnp.array([0.0, 0.0, 1.0]))
-            pts.append(gpos[gi] + h * axis)
-            pts.append(gpos[gi] - h * axis)
-            rads.extend([r, r])
-            gidx.extend([gi, gi])
-    if not pts:
-        return jnp.zeros((0, 3)), jnp.zeros((0,)), np.zeros((0,), np.int64)
-    return jnp.stack(pts), jnp.asarray(rads), np.asarray(gidx)
+            probes.append((gi, 1.0))
+            probes.append((gi, -1.0))
+    if not probes:
+        return (jnp.zeros((0, 3)), jnp.zeros((0,)),
+                np.zeros((0,), np.int64))
+    gidx = np.array([p[0] for p in probes])
+    ends = jnp.asarray([p[1] for p in probes])[:, None]
+    h = jnp.asarray(m.geom_size[gidx, 1])[:, None]
+    axis = Q.rotate(gquat[gidx], jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0]), (len(probes), 3)))
+    pts = gpos[gidx] + ends * h * axis
+    rads = jnp.asarray(m.geom_size[gidx, 0])
+    return pts, rads, gidx
 
 
 def _point_box_distance(p, bmin, bmax):
-    """Signed distance from point to AABB surface, with outward normal.
-    Negative inside. Shapes: p [...,3], bmin/bmax [...,3]."""
+    """Signed distance point->AABB surface with outward normal (negative
+    inside)."""
     clamped = jnp.clip(p, bmin, bmax)
     delta = p - clamped
     d_out = jnp.linalg.norm(delta, axis=-1)
     outside = d_out > 1e-9
     n_out = delta / jnp.where(outside, d_out, 1.0)[..., None]
-    # inside: distance to nearest face (negative), normal along that axis
     face_lo = p - bmin
     face_hi = bmax - p
-    faces = jnp.concatenate([face_lo, face_hi], axis=-1)       # [...,6]
+    faces = jnp.concatenate([face_lo, face_hi], axis=-1)
     k = jnp.argmin(faces, axis=-1)
     d_in = -jnp.min(faces, axis=-1)
-    normals = jnp.concatenate([-jnp.eye(3), jnp.eye(3)], axis=0)  # [6,3]
+    normals = jnp.concatenate([-jnp.eye(3), jnp.eye(3)], axis=0)
     n_in = normals[k]
     dist = jnp.where(outside, d_out, d_in)
     normal = jnp.where(outside[..., None], n_out, n_in)
@@ -316,23 +323,21 @@ def _point_box_distance(p, bmin, bmax):
 
 
 def contact_forces(m: Model, body_pos, body_quat, V):
-    """Penalty contacts of all probe spheres vs ground plane + static AABBs.
-    Returns per-body external spatial force [nb, 6] at the world origin."""
+    """Penalty contacts of all probe spheres vs ground plane + static
+    AABBs. Returns per-body external spatial force [nb, 6]."""
     gpos, gquat = _geom_world(m, body_pos, body_quat)
     pts, rads, gidx = _sphere_points(m, gpos, gquat)
     npts = pts.shape[0]
     if npts == 0:
         return jnp.zeros((m.nb, 6))
-    body_of_pt = m.geom_body[gidx]                      # np [npts]
-    fric = jnp.asarray(m.geom_friction)[gidx]           # [npts]
-    # solref-style mass-scaled gains (see Model docstring)
+    body_of_pt = m.geom_body[gidx]
+    fric = jnp.asarray(m.geom_friction)[gidx]
     omega = 1.0 / m.contact_timeconst
-    m_eff = jnp.asarray(m.mass)[body_of_pt]             # [npts]
+    m_eff = jnp.asarray(m.mass)[body_of_pt]
     k_n = m_eff * omega**2
     c_n = 2.0 * m.contact_dampratio * m_eff * omega
 
-    # velocity of each contact point: v = v_o + w x x
-    Vp = V[body_of_pt]                                  # [npts, 6]
+    Vp = V[body_of_pt]
     v_pt = Vp[:, 3:] + jnp.cross(Vp[:, :3], pts)
 
     def force_from(dist, normal):
@@ -343,21 +348,19 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_t = v_pt - v_n[:, None] * normal
         vt_norm = jnp.sqrt((v_t**2).sum(-1) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
-        f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) * scale[:, None]
+        f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) \
+            * scale[:, None]
         return f_n[:, None] * normal + f_t
 
-    # ground plane z=0
     dist_p = pts[:, 2] - rads
     n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (npts, 3))
-    f_plane = force_from(dist_p, n_p)                   # [npts, 3]
-    total = f_plane
+    total = force_from(dist_p, n_p)
 
-    # static boxes
     if m.nsb > 0:
-        bmin = jnp.asarray(m.static_box_min)[None]      # [1, nsb, 3]
+        bmin = jnp.asarray(m.static_box_min)[None]
         bmax = jnp.asarray(m.static_box_max)[None]
         d_b, n_b = _point_box_distance(pts[:, None, :], bmin, bmax)
-        d_b = d_b - rads[:, None]                       # [npts, nsb]
+        d_b = d_b - rads[:, None]
         pen = jnp.maximum(-d_b, 0.0)
         v_n = (v_pt[:, None, :] * n_b).sum(-1)
         f_n = jnp.maximum(k_n[:, None] * pen - c_n[:, None] * v_n, 0.0)
@@ -369,34 +372,124 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             * scale[..., None]
         total = total + (f_n[..., None] * n_b + f_t).sum(axis=1)
 
-    # accumulate to bodies as world-origin spatial forces [n_o; f]
+    # --- probe spheres vs dynamic BOX geoms (drawers, doors, furniture) ---
+    F_other = jnp.zeros((m.nb, 6))
+    dyn_boxes = [gi for gi in range(m.ng) if int(m.geom_type[gi]) == BOX]
+    if dyn_boxes:
+        for gi in dyn_boxes:
+            b2 = int(m.geom_body[gi])
+            bq, bp = gquat[gi], gpos[gi]
+            # probe points in the box frame
+            local = Q.inv_rotate(jnp.broadcast_to(bq, (npts, 4)), pts - bp)
+            half = jnp.asarray(m.geom_size[gi])
+            d, n_loc = _point_box_distance(local, -half, half)
+            d = d - rads
+            n_w = Q.rotate(jnp.broadcast_to(bq, (npts, 4)), n_loc)
+            pen = jnp.maximum(-d, 0.0)
+            # exclude probes that live on the same body as the box
+            same = jnp.asarray(body_of_pt == b2)
+            pen = jnp.where(same, 0.0, pen)
+            v_box = V[b2, 3:] + jnp.cross(V[b2, :3], pts)
+            v_rel = v_pt - v_box
+            v_n = (v_rel * n_w).sum(-1)
+            f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
+            f_n = jnp.where(pen > 0, f_n, 0.0)
+            v_t = v_rel - v_n[:, None] * n_w
+            vt_norm = jnp.sqrt((v_t**2).sum(-1)
+                               + m.friction_vel_tol**2 * 1e-4)
+            scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
+            f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) \
+                * scale[:, None]
+            f_vec = f_n[:, None] * n_w + f_t               # on the probes
+            total = total + f_vec
+            # equal and opposite on the box's body
+            F_other = F_other.at[b2, :3].add(-jnp.cross(pts, f_vec).sum(0))
+            F_other = F_other.at[b2, 3:].add(-f_vec.sum(0))
+
     torque = jnp.cross(pts, total)
-    F = jnp.zeros((m.nb, 6))
+    F = F_other
     F = F.at[body_of_pt, :3].add(torque)
     F = F.at[body_of_pt, 3:].add(total)
     return F
 
 
+# ------------------------------------------------------------- linear solver
+
+def chol_solve_small(M, b):
+    """Solve M x = b for small SPD M via a fully-unrolled Cholesky.
+
+    XLA's library Cholesky/LU lower to loop-heavy custom calls that are
+    catastrophically slow for batched tiny matrices on TPU (~20 ms per
+    substep for [1024, 14, 14], measured). This right-looking masked
+    formulation uses only elementwise ops + outer products on the full
+    [n, n] tile — no stacks/concats — so XLA fuses each column update
+    into a couple of kernels. M: [n, n] (vmap for a batch), b: [n]."""
+    n = M.shape[-1]
+    eps = 1e-9
+    idx = jnp.arange(n)
+    A = M
+    L = jnp.zeros_like(M)
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(A[j, j], eps))
+        col = jnp.where(idx >= j, A[:, j] / d, 0.0)        # [n]
+        L = jnp.where((idx == j)[None, :], col[:, None], L)
+        # trailing update A[j+1:, j+1:] -= col col^T
+        mask = (idx > j)[:, None] & (idx > j)[None, :]
+        A = A - jnp.where(mask, col[:, None] * col[None, :], 0.0)
+
+    # forward substitution L y = b (right-looking, masked)
+    y = b
+    for j in range(n):
+        yj = y[j] / L[j, j]
+        y = jnp.where(idx == j, yj, y - jnp.where(idx > j, L[:, j] * yj, 0.0))
+
+    # back substitution L^T x = y
+    x = y
+    for j in range(n - 1, -1, -1):
+        xj = x[j] / L[j, j]
+        x = jnp.where(idx == j, xj, x - jnp.where(idx < j, L[j, :] * xj, 0.0))
+    return x
+
+
 # ---------------------------------------------------------------- integrator
 
-def actuator_torques(m: Model, ctrl):
+def actuator_torques(m: Model, ctrl, qpos=None, u=None):
+    """Actuator forces. Torque motors: gear * clip(ctrl, -1, 1). Position
+    servos: clip(kp*(ctrl - q) - kd*qdot, +-force) — ctrl is the TARGET
+    angle/position for servo actuators (PyBullet POSITION_CONTROL)."""
     tau = jnp.zeros(m.nv)
-    ctrl = jnp.clip(ctrl, -1.0, 1.0)
-    if m.nu:
-        tau = tau.at[jnp.asarray(m.act_dof)].add(jnp.asarray(m.act_gear) * ctrl)
-    return tau
+    if not m.nu:
+        return tau
+    dof = jnp.asarray(m.act_dof)
+    is_servo = jnp.asarray(m.act_type == 1)
+    f_motor = jnp.asarray(m.act_gear) * jnp.clip(ctrl, -1.0, 1.0)
+    if (m.act_type == 1).any():
+        # q of each servo's joint (1-dof joints only)
+        qadr = np.zeros(m.nu, np.int64)
+        for k, d in enumerate(m.act_dof):
+            b = int(m.dof_body[d])
+            qadr[k] = m.jnt_qposadr[b]
+        q = qpos[jnp.asarray(qadr)]
+        qd = u[dof]
+        f_servo = jnp.asarray(m.act_kp) * (ctrl - q) - jnp.asarray(m.act_kd) * qd
+        f_servo = jnp.clip(f_servo, -jnp.asarray(m.act_force),
+                           jnp.asarray(m.act_force))
+    else:
+        f_servo = jnp.zeros(m.nu)
+    f = jnp.where(is_servo, f_servo, f_motor)
+    return tau.at[dof].add(f)
 
 
-def substep(m: Model, qpos, qvel, tau_act):
-    # The dynamics' small matrices (mass matrix, spatial inertias) are far
-    # too ill-conditioned for the TPU's default bf16 matmul passes — the
-    # Cholesky factor goes NaN within a few steps. Physics always runs with
-    # full f32 MXU passes; the NN training path keeps the fast default.
+def substep(m: Model, qpos, qvel, ctrl):
+    # The dynamics' small matrices are far too ill-conditioned for the
+    # TPU's default bf16 matmul passes — the Cholesky goes NaN within a
+    # few steps. Physics always runs full-f32; the NN path keeps the
+    # fast default precision.
     with jax.default_matmul_precision("float32"):
-        return _substep(m, qpos, qvel, tau_act)
+        return _substep(m, qpos, qvel, ctrl)
 
 
-def _substep(m: Model, qpos, qvel, tau_act):
+def _substep(m: Model, qpos, qvel, ctrl):
     body_pos, body_quat = fk(m, qpos)
     S = dof_subspaces(m, body_pos, body_quat)
     u = qvel_to_u(m, qvel, body_pos)
@@ -404,35 +497,39 @@ def _substep(m: Model, qpos, qvel, tau_act):
     I6 = spatial_inertia(m, body_pos, body_quat)
     f_ext = contact_forces(m, body_pos, body_quat, V)
     tau_bias = bias_forces(m, I6, S, V, u, f_ext)
+    tau_act = actuator_torques(m, ctrl, qpos, u)
     tau = tau_act + passive_torques(m, qpos, u) - tau_bias
     M = crba(m, I6, S)
-    udot = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(M), tau)
+    udot = chol_solve_small(M, tau)
 
     u_new = u + m.dt * udot
     # semi-implicit: integrate positions with the new velocities
     qvel_new = u_to_qvel(m, u_new, body_pos)
     qpos_new = qpos
+    one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]
+    if len(one_dof):
+        qa, da = m.jnt_qposadr[one_dof], m.jnt_dofadr[one_dof]
+        qpos_new = qpos_new.at[qa].add(m.dt * qvel_new[da])
     for i in range(m.nb):
-        qa, d = int(m.jnt_qposadr[i]), int(m.jnt_dofadr[i])
         if m.jnt_type[i] == FREE:
+            qa, d = int(m.jnt_qposadr[i]), int(m.jnt_dofadr[i])
             vp = qvel_new[d: d + 3]
             w = qvel_new[d + 3: d + 6]
             qpos_new = qpos_new.at[qa: qa + 3].add(m.dt * vp)
             quat_new = Q.integrate(qpos[qa + 3: qa + 7], w, m.dt)
             qpos_new = qpos_new.at[qa + 3: qa + 7].set(quat_new)
-        elif m.jnt_type[i] in (HINGE, SLIDE):
-            qpos_new = qpos_new.at[qa].add(m.dt * qvel_new[d])
     return qpos_new, qvel_new
 
 
 def step(m: Model, qpos, qvel, ctrl):
-    """One control step = n_substeps physics substeps (single env)."""
-    tau_act = actuator_torques(m, ctrl)
+    """One control step = n_substeps physics substeps (single env). ctrl
+    holds motor commands in [-1, 1] and/or servo target positions."""
 
     def body(carry, _):
         qp, qv = carry
-        qp, qv = substep(m, qp, qv, tau_act)
+        qp, qv = substep(m, qp, qv, ctrl)
         return (qp, qv), None
 
-    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, length=m.n_substeps)
+    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None,
+                                   length=m.n_substeps)
     return qpos, qvel

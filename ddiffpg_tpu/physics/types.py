@@ -65,9 +65,16 @@ class Model:
     static_box_min: np.ndarray  # [nsb, 3]
     static_box_max: np.ndarray  # [nsb, 3]
     nsb: int
-    # actuators: torque tau[dof] += gear * ctrl[a]
+    # actuators: type 0 = direct torque (tau += gear * clip(ctrl, -1, 1)),
+    # type 1 = position servo (tau += clip(kp*(ctrl - q) - kd*qdot, +-force))
+    # — the engine equivalent of PyBullet POSITION_CONTROL with joint_forces
+    # (reference pybullet.py:368-383)
     act_dof: np.ndarray         # [nu] target dof index
     act_gear: np.ndarray        # [nu]
+    act_type: np.ndarray        # [nu] int
+    act_kp: np.ndarray          # [nu]
+    act_kd: np.ndarray          # [nu]
+    act_force: np.ndarray       # [nu] servo force limit
     nu: int
     # defaults
     init_qpos: np.ndarray       # [nq]
