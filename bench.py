@@ -23,6 +23,39 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_train(num_envs: int = 1024, iters: int = 10):
+    """Full DDiffPG training-iteration throughput (collect + update_times
+    gradient passes) on antmaze-v1."""
+    from ddiffpg_tpu import config as C
+    from ddiffpg_tpu.agents import make_agent
+    from ddiffpg_tpu.envs import make
+
+    cfg = C.Config(algo=C.algo_preset("ddiffpg"))
+    cfg = C.preprocess(cfg)
+    cfg = cfg.override(num_envs=num_envs)
+    env = make("antmaze-v1", num_envs=num_envs, random_init=True)
+    agent = make_agent("DDiffPG", env, cfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    ts, _ = agent.train_iter(ts)     # compile + warm
+    jax.block_until_ready(ts)
+    t0 = time.time()
+    for _ in range(iters):
+        ts, logs = agent.train_iter(ts)
+    jax.block_until_ready(ts)
+    dt = time.time() - t0
+    sps = num_envs * cfg.algo.horizon_len * iters / dt
+    result = {
+        "metric": f"ddiffpg_train_env_steps_per_sec@{num_envs}envs",
+        "value": round(sps, 1),
+        "unit": "env_steps/sec",
+        "vs_baseline": round(sps / 1_000_000, 4),
+        "detail": {"device": str(jax.devices()[0]),
+                   "s_per_train_iter": round(dt / iters, 4)},
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion"):
     from ddiffpg_tpu.envs import make
     from ddiffpg_tpu.models.diffusion import DiffusionPolicy
@@ -86,4 +119,7 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         kw[k] = int(v) if v.isdigit() else v
-    main(**kw)
+    if kw.pop("mode", None) == "train":
+        bench_train(**kw)
+    else:
+        main(**kw)

@@ -9,10 +9,11 @@ eval/recluster cadence.
 from ddiffpg_tpu.agents.td3 import AgentTD3
 from ddiffpg_tpu.agents.sac import AgentSAC
 from ddiffpg_tpu.agents.dipo import AgentDIPO
+from ddiffpg_tpu.agents.diffq import AgentDiffQ
 from ddiffpg_tpu.agents.ddiffpg import AgentDDiffPG
 
 AGENTS = {"TD3": AgentTD3, "SAC": AgentSAC, "DIPO": AgentDIPO,
-          "DDiffPG": AgentDDiffPG}
+          "DDiffPG": AgentDDiffPG, "DiffQ": AgentDiffQ}
 
 
 def make_agent(name: str, env, cfg):

@@ -162,6 +162,8 @@ def algo_preset(name: str) -> AlgoConfig:
         return AlgoConfig()
     if name == "DIPO":
         return AlgoConfig(name="DIPO", memory_size=1_000_000, warm_up=32)
+    if name == "DIFFQ":
+        return AlgoConfig(name="DiffQ", memory_size=1_000_000, warm_up=32)
     if name == "TD3":
         return AlgoConfig(name="TD3", memory_size=1_000_000, warm_up=32)
     if name == "SAC":

@@ -28,12 +28,15 @@ from ddiffpg_tpu.physics import engine, maze
 class AntMazeEnv:
     def __init__(self, name: str = "antmaze-v1", reward_type: str = "sparse",
                  random_init: bool = False, maze_size_scaling: float = 4.0,
-                 dt: float = 0.005, n_substeps: int = 20):
+                 dt: float = 0.01, n_substeps: int = 10):
         self.name = name
         self.maze_map = maze.MAZES[name]
         self.boxes = maze.compile_boxes(self.maze_map, maze_size_scaling)
+        # boxes drive the per-env reference engine; the SDF drives the
+        # batched channel-last engine (one bilinear lookup per probe)
+        sdf = maze.compile_sdf(self.maze_map, maze_size_scaling)
         self.model = ant_model.build_ant(static_boxes=self.boxes, dt=dt,
-                                         n_substeps=n_substeps)
+                                         n_substeps=n_substeps, **sdf)
         goals = maze.GOALS[name]
         self.goal_xy = jnp.asarray([g[0] for g in goals])      # [G, 2]
         self.goal_reward = jnp.asarray([g[1] for g in goals])  # [G]
@@ -96,4 +99,34 @@ class AntMazeEnv:
             "success": goal_id,
             "time_outs": truncated & ~terminated,
         }
+        return new_state, obs, reward, done, info
+
+    # -- batched fast path (channel-last engine; see physics/engine_cl.py) --
+
+    def step_batched(self, state: EnvState, action):
+        from ddiffpg_tpu.physics import engine_cl
+
+        B = action.shape[0]
+        qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel,
+                                    action)
+        d = jnp.linalg.norm(qpos[:, None, :2] - self.goal_xy[None], axis=-1)
+        hit = d <= 0.5                                   # [B, G]
+        reached = hit.any(axis=-1)
+        first = jnp.argmax(hit, axis=-1)
+        goal_id = jnp.where(reached, first + 1, 0).astype(jnp.int32)
+        reward = jnp.where(reached, self.goal_reward[first], 0.0)
+
+        t = state.t + 1
+        truncated = t >= self.max_episode_steps
+        done = reached | truncated
+        obs = jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1)
+
+        keys = jax.vmap(jax.random.split)(state.key)
+        reset_state = jax.vmap(self._init_state)(keys[:, 0])
+        cur = EnvState(qpos=qpos, qvel=qvel, t=t, key=keys[:, 1])
+        new_state = jax.tree.map(
+            lambda r, c: jnp.where(
+                done.reshape((-1,) + (1,) * (c.ndim - 1)), r, c),
+            reset_state, cur)
+        info = {"success": goal_id, "time_outs": truncated & ~reached}
         return new_state, obs, reward, done, info

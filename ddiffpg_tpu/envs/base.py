@@ -37,7 +37,9 @@ class VecEnv:
         self.env = env
         self.num_envs = num_envs
         self._reset = jax.vmap(env.reset)
-        self._step = jax.vmap(env.step)
+        # envs with a channel-last batched step (env batch on TPU lanes
+        # through the physics) use it; others get plain vmap
+        self._step = getattr(env, "step_batched", None) or jax.vmap(env.step)
 
     @property
     def obs_dim(self):

@@ -141,7 +141,8 @@ class EBMDiffusionPolicy(DiffusionPolicy):
         return jax.grad(e)(x)
 
     def logprob(self, x, t, cond, action_buf):
-        """log p(x | cond) against a sample buffer partition function."""
+        """log p(x | cond) against a sample buffer partition function
+        (diffusion_mlp.py:260-283)."""
         B1, B2 = cond.shape[0], action_buf.shape[0]
         E = self.neg_logp_unnorm(x, t, cond)
         a = jnp.tile(action_buf, (B1, 1))
@@ -149,3 +150,13 @@ class EBMDiffusionPolicy(DiffusionPolicy):
         t2 = jnp.zeros((B1 * B2,), jnp.float32)
         Z = jnp.exp(-self.neg_logp_unnorm(a, t2, c)).reshape(B1, B2).sum(-1)
         return -E - jnp.log(Z)
+
+    def entropy(self, key, cond, logZ, num_action: int = 50):
+        """Monte-Carlo entropy estimate: mean energy of sampled actions +
+        log partition (diffusion_mlp.py:285-292)."""
+        B = cond.shape[0]
+        c = jnp.repeat(cond, num_action, axis=0)
+        a = self.act(key, c)
+        t = jnp.zeros((B * num_action,), jnp.float32)
+        E = self.neg_logp_unnorm(a, t, c).reshape(B, num_action).mean(axis=1)
+        return E + logZ

@@ -11,6 +11,22 @@ import jax
 import jax.numpy as jnp
 
 
+class FixedNormalActionNoise:
+    """Stateless N(mu, std) action-noise sampler with optional truncation
+    (reference utils/noise.py:5-16)."""
+
+    def __init__(self, mean, std, bounds=None):
+        self.mean = mean
+        self.std = std
+        self.bounds = bounds
+
+    def __call__(self, key, shape=(), truncated=False):
+        s = jax.random.normal(key, shape) * self.std + self.mean
+        if truncated and self.bounds is not None:
+            s = jnp.clip(s, self.bounds[0], self.bounds[1])
+        return s
+
+
 def add_normal_noise(key, x, std, noise_bounds=None, out_bounds=None):
     noise = jax.random.normal(key, x.shape, x.dtype) * std
     if noise_bounds is not None:

@@ -79,6 +79,16 @@ class Model:
     # defaults
     init_qpos: np.ndarray       # [nq]
     init_qvel: np.ndarray       # [nv]
+    # optional precomputed 2-D signed-distance field of the static world
+    # (grid-aligned mazes): one bilinear lookup replaces per-probe tests
+    # against every wall box. dist > 0 outside walls; valid below sdf_zmax.
+    sdf_dist: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float32))  # [Nx, Ny]
+    sdf_grad: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0, 2), np.float32))
+    sdf_origin: Tuple[float, float] = (0.0, 0.0)
+    sdf_cell: float = 0.125
+    sdf_zmax: float = 2.0
     # integration / contact parameters
     dt: float = 0.005
     n_substeps: int = 20        # control dt = dt * n_substeps

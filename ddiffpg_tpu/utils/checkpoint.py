@@ -27,6 +27,29 @@ def save(path, state, host_meta: dict | None = None):
                     protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def save_model(path, actor_params, critic_params_list, rms=None,
+               embeddings=None, coverage=None):
+    """Weights-only bundle, mirroring the reference `save_model`
+    (`utils/model_util.py:23-35`: actor + per-mode critic list + obs-RMS +
+    mode embeddings + coverage matrix)."""
+    blob = {
+        "actor": jax.tree.map(np.asarray, actor_params),
+        "critics": jax.tree.map(np.asarray, critic_params_list),
+        "rms": jax.tree.map(np.asarray, rms) if rms is not None else None,
+        "embeddings": np.asarray(embeddings) if embeddings is not None else None,
+        "coverage": np.asarray(coverage) if coverage is not None else None,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_model(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def load(path, example_state):
     """Restore into the structure of `example_state` (shapes must match)."""
     with open(path, "rb") as f:

@@ -57,6 +57,9 @@ def main(argv=None):
     if "antmaze" in cfg.env.name:
         env_kw = dict(reward_type=cfg.env.reward_type,
                       random_init=cfg.env.random_init)
+    elif cfg.env.name.startswith("Panda"):
+        # reference main passes control_type='joints' (ddiffpg_main.py:42)
+        env_kw = dict(control_type=cfg.env.control_type)
     env = make(cfg.env.name, num_envs=cfg.num_envs, **env_kw)
     eval_env = make(cfg.env.name, num_envs=cfg.eval_num_envs, **env_kw)
 
