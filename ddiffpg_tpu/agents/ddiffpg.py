@@ -145,8 +145,12 @@ class AgentDDiffPG:
             critic_opts=critic_opts,
             embeddings=embeddings,
             intrinsic=self.intrinsic.init(k_int),
+            # slot allocation parks non-finishing envs on distinct slots, so
+            # the store needs >= 2 * num_envs slots (reference design point:
+            # 2000 trajectories at 256 envs, ddiffpg_algo.yaml:7)
             replay=ep.EpisodicReplay.create(
-                int(a.memory_size), self.env.max_episode_length,
+                max(int(a.memory_size), 2 * self.env.num_envs),
+                self.env.max_episode_length,
                 self.env.num_envs, self.obs_dim, self.action_dim, self.G_max),
             env_state=env_state, obs=obs,
             stats=base.EpisodeStats.create(self.env.num_envs, a.tracker_len),

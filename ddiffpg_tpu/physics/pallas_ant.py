@@ -1,0 +1,526 @@
+"""Pallas TPU mega-kernel for the ant substep.
+
+The XLA substep (engine_cl.py) lowers to ~500 kernels with HBM round trips
+between them; here the ENTIRE substep — FK, motion subspaces, spatial
+inertias, plane+box penalty contacts, RNEA bias, CRBA, the unrolled
+Cholesky solve and the semi-implicit integration — is ONE Pallas kernel.
+Every physical scalar is a (1, TILE) lane-vector of envs, so all 128 VPU
+lanes stay full and nothing touches HBM until the state is written back.
+
+Supported topology: one FREE root + any tree of HINGE bodies with the
+joint anchored at the body origin (the ant; asserts below), probe-sphere
+contacts vs the ground plane and the model's static AABBs. Semantics match
+engine.py / engine_cl.py exactly and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ddiffpg_tpu.physics.types import CAPSULE, FREE, HINGE, SPHERE, Model
+
+# ---------------------------------------------------------------------------
+# tuple math on (1, T) lane vectors
+
+
+def v3(x, y, z):
+    return (x, y, z)
+
+
+def vadd(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def vsub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def vscale(a, s):
+    return tuple(x * s for x in a)
+
+
+def vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def vcross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def qmul(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return (w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2)
+
+
+def qrot(q, v):
+    qv = (q[1], q[2], q[3])
+    t = vscale(vcross(qv, v), 2.0)
+    return vadd(vadd(v, vscale(t, q[0])), vcross(qv, t))
+
+
+def qaxis_angle(axis: Sequence[float], ang):
+    half = ang * 0.5
+    s = jnp.sin(half)
+    return (jnp.cos(half), axis[0] * s, axis[1] * s, axis[2] * s)
+
+
+def qmat(q):
+    """3x3 rotation as nested tuples of lane vectors."""
+    w, x, y, z = q
+    return ((1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+            (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+            (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)))
+
+
+def m3vec(R, v):
+    return tuple(R[i][0] * v[0] + R[i][1] * v[1] + R[i][2] * v[2]
+                 for i in range(3))
+
+
+def m3mul(A, B):
+    return tuple(tuple(sum(A[i][k] * B[k][j] for k in range(3))
+                       for j in range(3)) for i in range(3))
+
+
+def m3mulT(A, B):
+    """A @ B^T."""
+    return tuple(tuple(sum(A[i][k] * B[j][k] for k in range(3))
+                       for j in range(3)) for i in range(3))
+
+
+def sv6(ang, lin):
+    """Spatial vector = (angular 3-tuple, linear 3-tuple)."""
+    return (ang, lin)
+
+
+def sv_add(a, b):
+    return (vadd(a[0], b[0]), vadd(a[1], b[1]))
+
+
+def sv_scale(a, s):
+    return (vscale(a[0], s), vscale(a[1], s))
+
+
+def cross_motion(v, m):
+    w, vo = v
+    mw, mv = m
+    return (vcross(w, mw), vadd(vcross(w, mv), vcross(vo, mw)))
+
+
+def cross_force(v, f):
+    w, vo = v
+    n, fl = f
+    return (vadd(vcross(w, n), vcross(vo, fl)), vcross(w, fl))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _check_supported(m: Model):
+    assert m.jnt_type[0] == FREE and (m.jnt_type[1:] == HINGE).all(), \
+        "pallas kernel supports FREE root + HINGE tree"
+    assert np.allclose(m.jnt_pos, 0.0), "hinges must anchor at body origin"
+    assert m.sdf_dist.size == 0 or True  # SDF ignored; boxes used
+
+
+def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
+    """Returns f(qpos [B, nq], qvel [B, nv], ctrl [B, nu]) -> (qpos, qvel)
+    running `n_substeps` (default model) substeps in one pallas kernel."""
+    _check_supported(m)
+    nb, nv, nq, nu = m.nb, m.nv, m.nq, m.nu
+    n_sub = n_substeps if n_substeps is not None else m.n_substeps
+    dt = float(m.dt)
+    parent = [int(p) for p in m.parent]
+    axes = [tuple(float(x) for x in m.jnt_axis[i]) for i in range(nb)]
+    body_pos = [tuple(float(x) for x in m.body_pos[i]) for i in range(nb)]
+    mass = [float(x) for x in m.mass]
+    com = [tuple(float(x) for x in m.com[i]) for i in range(nb)]
+    inertia = [[[float(m.inertia[i][r][c]) for c in range(3)]
+                for r in range(3)] for i in range(nb)]
+    dofadr = [int(x) for x in m.jnt_dofadr]
+    qposadr = [int(x) for x in m.jnt_qposadr]
+    damping = [float(x) for x in m.dof_damping]
+    armature = [float(x) for x in m.dof_armature]
+    lim_lo = [float(x) for x in m.dof_limit_lo]
+    lim_hi = [float(x) for x in m.dof_limit_hi]
+    act_dof = [int(x) for x in m.act_dof]
+    act_gear = [float(x) for x in m.act_gear]
+    gravity = tuple(float(g) for g in m.gravity)
+    omega_c = 1.0 / float(m.contact_timeconst)
+    zeta = float(m.contact_dampratio)
+    vtol = float(m.friction_vel_tol)
+    lim_k = float(m.limit_stiffness)
+    lim_c = float(m.limit_damping)
+
+    # probe spheres (static layout)
+    probes = []  # (body, local offset tuple, radius, friction)
+    for gi in range(m.ng):
+        b = int(m.geom_body[gi])
+        t = int(m.geom_type[gi])
+        gp = tuple(float(x) for x in m.geom_pos[gi])
+        gq = np.asarray(m.geom_quat[gi], np.float64)
+        r = float(m.geom_size[gi][0])
+        fr = float(m.geom_friction[gi])
+        if t == SPHERE:
+            probes.append((b, gp, r, fr))
+        elif t == CAPSULE:
+            h = float(m.geom_size[gi][1])
+            # capsule axis = geom +z in body frame
+            w, x, y, z = gq
+            zax = (2 * (x * z + w * y), 2 * (y * z - w * x),
+                   1 - 2 * (x * x + y * y))
+            for sgn in (1.0, -1.0):
+                off = tuple(gp[k] + sgn * h * zax[k] for k in range(3))
+                probes.append((b, off, r, fr))
+    boxes = [(tuple(float(x) for x in m.static_box_min[i]),
+              tuple(float(x) for x in m.static_box_max[i]))
+             for i in range(m.nsb)]
+
+    hinges = [i for i in range(nb) if m.jnt_type[i] == HINGE]
+
+    # per-probe constants travel as a kernel input (pallas forbids captured
+    # non-scalar constants): columns = radius, friction, k_n, c_n
+    probe_const_np = np.zeros((len(probes), 4), np.float32)
+    for k, (b, off, r, fr) in enumerate(probes):
+        me = mass[b]
+        probe_const_np[k] = (r, fr, me * omega_c * omega_c,
+                             2.0 * zeta * me * omega_c)
+
+    def substep_math(q, qd, ctrl_rows, probe_consts):
+        """q: list of nq (1,T) rows; qd: list of nv rows. Returns new lists."""
+        T = q[0].shape[-1]
+        zero = jnp.zeros_like(q[0])
+
+        # ---------------- FK
+        pos = [None] * nb
+        quat = [None] * nb
+        pos[0] = (q[0], q[1], q[2])
+        quat[0] = (q[3], q[4], q[5], q[6])
+        for i in hinges:
+            p = parent[i]
+            p0 = vadd(pos[p], qrot(quat[p], body_pos[i]))
+            qj = qaxis_angle(axes[i], q[qposadr[i]])
+            quat[i] = qmul(quat[p], qj)
+            pos[i] = p0
+
+        # ---------------- motion subspaces (world origin coords)
+        S = [None] * nv
+        for k in range(3):          # root translation: [0; e_k]
+            e = [zero, zero, zero]
+            e[k] = zero + 1.0
+            S[k] = (tuple([zero] * 3), tuple(e))
+        for k in range(3):          # root rotation about origin: [e_k; 0]
+            e = [zero, zero, zero]
+            e[k] = zero + 1.0
+            S[3 + k] = (tuple(e), tuple([zero] * 3))
+        for i in hinges:
+            w = qrot(quat[i], axes[i])
+            S[dofadr[i]] = (w, vcross(pos[i], w))
+
+        # ---------------- qvel -> u (v_origin, omega)
+        u = list(qd)
+        wroot = (qd[3], qd[4], qd[5])
+        vo = vsub((qd[0], qd[1], qd[2]), vcross(wroot, pos[0]))
+        u[0], u[1], u[2] = vo
+
+        # ---------------- body spatial velocities
+        V = [None] * nb
+        V[0] = ((u[3], u[4], u[5]), (u[0], u[1], u[2]))
+        for i in hinges:
+            V[i] = sv_add(V[parent[i]], sv_scale(S[dofadr[i]], u[dofadr[i]]))
+
+        # ---------------- spatial inertias about the world origin
+        I6 = [None] * nb            # 6x6 nested lists of lane vectors
+        cw = [None] * nb
+        for i in range(nb):
+            R = qmat(quat[i])
+            c = vadd(pos[i], m3vec(R, com[i]))
+            cw[i] = c
+            RI = m3mul(R, inertia[i])
+            Ic = m3mulT(RI, R)      # R I R^T
+            mi = mass[i]
+            cx = ((zero, -c[2], c[1]), (c[2], zero, -c[0]),
+                  (-c[1], c[0], zero))
+            cxcx = m3mul(cx, cx)
+            blk = [[None] * 6 for _ in range(6)]
+            for r in range(3):
+                for cc in range(3):
+                    blk[r][cc] = Ic[r][cc] - mi * cxcx[r][cc]
+                    blk[r][3 + cc] = mi * cx[r][cc]
+                    blk[3 + r][cc] = -mi * cx[r][cc]
+                    blk[3 + r][3 + cc] = (zero + mi) if r == cc else zero
+            I6[i] = blk
+
+        def I6vec(blk, sv):
+            a = list(sv[0]) + list(sv[1])
+            out = [sum(blk[r][c] * a[c] for c in range(6)) for r in range(6)]
+            return ((out[0], out[1], out[2]), (out[3], out[4], out[5]))
+
+        # ---------------- contacts: probes vs plane + static boxes
+        f_ext = [((zero, zero, zero), (zero, zero, zero)) for _ in range(nb)]
+        npts = len(probes)
+        px = jnp.concatenate([
+            vadd(pos[b], qrot(quat[b], off))[0] for b, off, r, fr in probes])
+        py = jnp.concatenate([
+            vadd(pos[b], qrot(quat[b], off))[1] for b, off, r, fr in probes])
+        pz = jnp.concatenate([
+            vadd(pos[b], qrot(quat[b], off))[2] for b, off, r, fr in probes])
+        # probe velocities v = V.lin + w x p
+        vx_l, vy_l, vz_l = [], [], []
+        for b, off, r, fr in probes:
+            w, vo_b = V[b]
+            pw = vadd(pos[b], qrot(quat[b], off))
+            vv = vadd(vo_b, vcross(w, pw))
+            vx_l.append(vv[0])
+            vy_l.append(vv[1])
+            vz_l.append(vv[2])
+        vx = jnp.concatenate(vx_l)
+        vy = jnp.concatenate(vy_l)
+        vz = jnp.concatenate(vz_l)
+        rad, fric, k_n, c_n = probe_consts
+
+        def contact_force(dist, nx, ny, nz):
+            pen = jnp.maximum(-dist, 0.0)
+            v_n = vx * nx + vy * ny + vz * nz
+            f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
+            f_n = jnp.where(pen > 0, f_n, 0.0)
+            tx = vx - v_n * nx
+            ty = vy - v_n * ny
+            tz = vz - v_n * nz
+            vt = jnp.sqrt(tx * tx + ty * ty + tz * tz + vtol * vtol * 1e-4)
+            scale = jnp.minimum(1.0, vt / vtol)
+            ft = -fric * f_n * scale / vt
+            return f_n * nx + ft * tx, f_n * ny + ft * ty, f_n * nz + ft * tz
+
+        fx, fy, fz = contact_force(pz - rad, 0.0, 0.0, 1.0)
+        for (bmin, bmax) in boxes:
+            cx_ = jnp.clip(px, bmin[0], bmax[0])
+            cy_ = jnp.clip(py, bmin[1], bmax[1])
+            cz_ = jnp.clip(pz, bmin[2], bmax[2])
+            dx = px - cx_
+            dy = py - cy_
+            dz = pz - cz_
+            d_out = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            outside = d_out > 1e-9
+            inv = 1.0 / jnp.where(outside, d_out, 1.0)
+            # inside: nearest face
+            fl = [px - bmin[0], bmax[0] - px, py - bmin[1], bmax[1] - py,
+                  pz - bmin[2], bmax[2] - pz]
+            d_in = fl[0]
+            for f_ in fl[1:]:
+                d_in = jnp.minimum(d_in, f_)
+            nrm = [(-1.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, -1.0, 0.0),
+                   (0.0, 1.0, 0.0), (0.0, 0.0, -1.0), (0.0, 0.0, 1.0)]
+            nxi = jnp.zeros_like(px)
+            nyi = jnp.zeros_like(px)
+            nzi = jnp.zeros_like(px)
+            chosen = jnp.zeros_like(px, dtype=jnp.bool_)
+            for f_, (a1, a2, a3) in zip(fl, nrm):
+                hit = (f_ <= d_in) & (~chosen)
+                nxi = jnp.where(hit, a1, nxi)
+                nyi = jnp.where(hit, a2, nyi)
+                nzi = jnp.where(hit, a3, nzi)
+                chosen = chosen | hit
+            nx = jnp.where(outside, dx * inv, nxi)
+            ny = jnp.where(outside, dy * inv, nyi)
+            nz = jnp.where(outside, dz * inv, nzi)
+            dist = jnp.where(outside, d_out, -d_in) - rad
+            gx, gy, gz = contact_force(dist, nx, ny, nz)
+            fx = fx + gx
+            fy = fy + gy
+            fz = fz + gz
+
+        # accumulate probe forces to bodies as [n_o; f] at world origin
+        row = 0
+        for b, off, r, fr in probes:
+            f = (fx[row:row + 1], fy[row:row + 1], fz[row:row + 1])
+            p = (px[row:row + 1], py[row:row + 1], pz[row:row + 1])
+            n_o = vcross(p, f)
+            f_ext[b] = sv_add(f_ext[b], (n_o, f))
+            row += 1
+
+        # ---------------- bias forces (RNEA, qacc = 0)
+        a0 = ((zero, zero, zero),
+              (zero - gravity[0], zero - gravity[1], zero - gravity[2]))
+        A = [None] * nb
+        A[0] = a0
+        for i in hinges:
+            vJ = sv_scale(S[dofadr[i]], u[dofadr[i]])
+            A[i] = sv_add(A[parent[i]], cross_motion(V[parent[i]], vJ))
+        fb = [None] * nb
+        for i in range(nb):
+            IA = I6vec(I6[i], A[i])
+            IV = I6vec(I6[i], V[i])
+            net = sv_add(IA, cross_force(V[i], IV))
+            fb[i] = (vsub(net[0], f_ext[i][0]), vsub(net[1], f_ext[i][1]))
+        for i in range(nb - 1, 0, -1):
+            fb[parent[i]] = sv_add(fb[parent[i]], fb[i])
+        tau_bias = [None] * nv
+        for i in range(nb):
+            d0 = dofadr[i]
+            nd = 6 if m.jnt_type[i] == FREE else 1
+            for k in range(nd):
+                sv = S[d0 + k]
+                tau_bias[d0 + k] = (vdot(sv[0], fb[i][0])
+                                    + vdot(sv[1], fb[i][1]))
+
+        # ---------------- CRBA mass matrix (composite inertias)
+        Ic = [[[x for x in r] for r in I6[i]] for i in range(nb)]
+        for i in range(nb - 1, 0, -1):
+            p = parent[i]
+            for r in range(6):
+                for c in range(6):
+                    Ic[p][r][c] = Ic[p][r][c] + Ic[i][r][c]
+
+        dof_body = [int(x) for x in m.dof_body]
+        F6 = [None] * nv
+        for d in range(nv):
+            F6[d] = I6vec(Ic[dof_body[d]], S[d])
+        # ancestors of each dof (static)
+        anc = []
+        for d in range(nv):
+            bd = dof_body[d]
+            path = set()
+            bi = bd
+            while bi >= 0:
+                path.add(bi)
+                bi = parent[bi] if bi > 0 else -1
+            anc.append([e for e in range(d + 1) if dof_body[e] in path])
+        M = [[None] * nv for _ in range(nv)]
+        for d in range(nv):
+            for e in anc[d]:
+                val = vdot(S[e][0], F6[d][0]) + vdot(S[e][1], F6[d][1])
+                if d == e:
+                    val = val + armature[d]
+                M[d][e] = val
+                M[e][d] = val
+        for d in range(nv):
+            for e in range(nv):
+                if M[d][e] is None:
+                    M[d][e] = zero
+
+        # ---------------- applied + passive torques
+        tau = [zero - damping[d] * u[d] for d in range(nv)]
+        for a_i, d in enumerate(act_dof):
+            cc = jnp.clip(ctrl_rows[a_i], -1.0, 1.0)
+            tau[d] = tau[d] + act_gear[a_i] * cc
+        for i in hinges:
+            d = dofadr[i]
+            qi = q[qposadr[i]]
+            over = jnp.maximum(qi - lim_hi[d], 0.0)
+            under = jnp.maximum(lim_lo[d] - qi, 0.0)
+            active = (over > 0) | (under > 0)
+            tau[d] = tau[d] - lim_k * (over - under) \
+                - jnp.where(active, lim_c * u[d], 0.0)
+        rhs = [tau[d] - tau_bias[d] for d in range(nv)]
+
+        # ---------------- unrolled Cholesky solve
+        L = [[None] * nv for _ in range(nv)]
+        Awork = [[M[r][c] for c in range(nv)] for r in range(nv)]
+        for j in range(nv):
+            dj = jnp.sqrt(jnp.maximum(Awork[j][j], 1e-9))
+            inv_dj = 1.0 / dj
+            for i2 in range(j, nv):
+                L[i2][j] = Awork[i2][j] * inv_dj
+            for i2 in range(j + 1, nv):
+                for k2 in range(j + 1, i2 + 1):
+                    Awork[i2][k2] = Awork[i2][k2] - L[i2][j] * L[k2][j]
+        y = [None] * nv
+        for i2 in range(nv):
+            acc = rhs[i2]
+            for k2 in range(i2):
+                acc = acc - L[i2][k2] * y[k2]
+            y[i2] = acc / L[i2][i2]
+        ud = [None] * nv
+        for i2 in range(nv - 1, -1, -1):
+            acc = y[i2]
+            for k2 in range(i2 + 1, nv):
+                acc = acc - L[k2][i2] * ud[k2]
+            ud[i2] = acc / L[i2][i2]
+
+        # ---------------- integrate (semi-implicit)
+        u_new = [u[d] + dt * ud[d] for d in range(nv)]
+        w_new = (u_new[3], u_new[4], u_new[5])
+        vp_new = vadd((u_new[0], u_new[1], u_new[2]),
+                      vcross(w_new, pos[0]))
+        qd_new = list(u_new)
+        qd_new[0], qd_new[1], qd_new[2] = vp_new
+
+        q_new = list(q)
+        q_new[0] = q[0] + dt * vp_new[0]
+        q_new[1] = q[1] + dt * vp_new[1]
+        q_new[2] = q[2] + dt * vp_new[2]
+        # quaternion integrate with world omega
+        angle = jnp.sqrt(w_new[0]**2 + w_new[1]**2 + w_new[2]**2)
+        safe = jnp.where(angle > 1e-9, angle, 1.0)
+        ax = (w_new[0] / safe, w_new[1] / safe, w_new[2] / safe)
+        half = angle * dt * 0.5
+        dq = (jnp.cos(half), ax[0] * jnp.sin(half), ax[1] * jnp.sin(half),
+              ax[2] * jnp.sin(half))
+        qn = qmul(dq, (q[3], q[4], q[5], q[6]))
+        norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
+        for k in range(4):
+            q_new[3 + k] = qn[k] / norm
+        for i in hinges:
+            q_new[qposadr[i]] = q[qposadr[i]] + dt * qd_new[dofadr[i]]
+        return q_new, qd_new
+
+    npr = len(probes)
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, pconst_ref, qpos_out, qvel_out):
+        q = [qpos_ref[i:i + 1, :] for i in range(nq)]
+        qd = [qvel_ref[i:i + 1, :] for i in range(nv)]
+        ctrl_rows = [ctrl_ref[i:i + 1, :] for i in range(nu)]
+        probe_consts = tuple(pconst_ref[:, k:k + 1] for k in range(4))
+        for _ in range(n_sub):
+            q, qd = substep_math(q, qd, ctrl_rows, probe_consts)
+        for i in range(nq):
+            qpos_out[i:i + 1, :] = q[i]
+        for i in range(nv):
+            qvel_out[i:i + 1, :] = qd[i]
+
+    @jax.jit
+    def step_fn(qpos, qvel, ctrl):
+        B = qpos.shape[0]
+        assert B % tile == 0, f"batch {B} must be divisible by tile {tile}"
+        grid = (B // tile,)
+        qp, qv = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nq, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nv, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nu, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npr, 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nq, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nv, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nq, qpos.shape[0]), jnp.float32),
+                jax.ShapeDtypeStruct((nv, qpos.shape[0]), jnp.float32),
+            ],
+        )(qpos.T, qvel.T, ctrl.T, jnp.asarray(probe_const_np))
+        return qp.T, qv.T
+
+    return step_fn
