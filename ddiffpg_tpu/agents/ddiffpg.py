@@ -236,86 +236,107 @@ class AgentDDiffPG:
         return jax.tree.map(lambda x, r: x.at[i].set(r), tree, row)
 
     def _update_once(self, ts: DDiffPGState, key, G: int):
+        """One update pass: per-group C51 critic updates + action-gradient
+        improvement VMAPPED over the group axis (the reference loops modes
+        in Python, algo/ddiffpg.py:231-285), then mode-conditioned actor
+        distillation and the RND update. Group batch sizes are uniform
+        batch_size // G (the reference gives the division remainder to the
+        explore group — at most G-1 extra samples)."""
         a = self.cfg.algo
-        keys = jax.random.split(key, 4 * G + 2)
-        sizes = self._group_sizes(G)
+        b = a.batch_size // G
+        A = self.action_dim
+        keys = jax.random.split(key, G + 4)
+        g_keys, k_tgt, k_emb2, k_loss = keys[:G], keys[G], keys[G + 1], keys[G + 2]
 
-        state_list, action_list = [], []
-        c_losses, c_gnorms, r_int_all = [], [], []
-        all_obs, all_next = [], []
-        replay = ts.replay
-        critics, targets, opts = ts.critics, ts.critic_targets, ts.critic_opts
+        # --- sample every group; stack to [G, b, ...] -----------------------
+        gbs = [ep.sample_group(ts.replay, g_keys[i], i, b, mix_temp=(i == 0))
+               for i in range(G)]
+        gb = jax.tree.map(lambda *xs: jnp.stack(xs), *gbs)
 
-        for i in range(G):
-            k_s, k_tgt, k_emb2, k_int = keys[4 * i: 4 * i + 4]
-            gb = ep.sample_group(replay, k_s, i, sizes[i], mix_temp=(i == 0))
-            r_int, intr = self.intrinsic.compute_reward(
-                ts.intrinsic, gb.obs, gb.next_obs)
-            ts = ts._replace(intrinsic=intr)
-            r_int_all.append(r_int)
-            all_obs.append(gb.obs)
-            all_next.append(gb.next_obs)
+        flat = lambda x: x.reshape((G * b,) + x.shape[2:])
+        r_int, intr = self.intrinsic.compute_reward(
+            ts.intrinsic, flat(gb.obs), flat(gb.next_obs))
+        ts = ts._replace(intrinsic=intr)
+        r_int_g = r_int.reshape(G, b, 1)
+        is_explore = (jnp.arange(G) == 0)[:, None, None]
+        # explore group trains on intrinsic-only reward (ddiffpg.py:239-246)
+        reward = jnp.where(is_explore, r_int_g, gb.reward + r_int_g)
 
-            if i == 0:
-                emb = ts.embeddings[0]
-                reward = r_int                       # intrinsic-only
-                emb_state = append_embedding(gb.obs, emb)
-                emb_next = append_embedding(gb.next_obs, emb)
-            else:
-                if a.use_embedding:
-                    emb = ts.embeddings[i]
-                else:
-                    emb = jnp.zeros(self.embed_dim)
-                reward = gb.reward + r_int
-                # reference uses add_embedding's default p=0.5 here
-                emb_state = add_embedding(k_emb2, gb.obs, emb, 0.5)
-                emb_next = add_embedding(k_emb2, gb.next_obs, emb, 0.5)
+        # --- per-group conditioning embeddings ------------------------------
+        if a.use_embedding:
+            emb_g = ts.embeddings[:G]
+        else:
+            emb_g = jnp.zeros((G, self.embed_dim)).at[0].set(ts.embeddings[0])
+        explore_flag = jnp.arange(G) == 0
 
-            # --- critic row i (C51 BCE; explore row = intrinsic reward) ----
-            crit_p = self._row(critics, i)
-            crit_t = self._row(targets, i)
-            crit_o = self._row(opts, i)
+        def embed_group(key_i, obs_i, emb_i, is_exp):
+            # mode groups use add_embedding's default p=0.5: a random half
+            # of the rows gets the zero embedding (torch_util.py:17-43)
+            mask = jax.random.permutation(key_i, jnp.arange(b) < (b // 2))
+            rows = jnp.broadcast_to(emb_i, (b, self.embed_dim))
+            rows = jnp.where((mask & ~is_exp)[:, None], 0.0, rows)
+            return jnp.concatenate([obs_i, rows], axis=-1)
 
-            next_actions = base.tgt_policy_action(
-                k_tgt,
-                lambda k, o: self.actor.apply(ts.actor_params, k, o,
-                                              method=DiffusionPolicy.act),
-                emb_next, a.noise)
+        drop_keys = jax.random.split(k_emb2, G)
+        emb_state = jax.vmap(embed_group)(drop_keys, gb.obs, emb_g,
+                                          explore_flag)
+        emb_next = jax.vmap(embed_group)(drop_keys, gb.next_obs, emb_g,
+                                         explore_flag)
+
+        # --- target-policy actions on all groups in one actor call ----------
+        next_actions = base.tgt_policy_action(
+            k_tgt,
+            lambda k, o: self.actor.apply(ts.actor_params, k, o,
+                                          method=DiffusionPolicy.act),
+            emb_next.reshape(G * b, -1), a.noise).reshape(G, b, A)
+
+        # --- vmapped critic update over the group axis ----------------------
+        rows = lambda t: jax.tree.map(lambda x: x[:G], t)
+        crit, crit_t, crit_o = (rows(ts.critics), rows(ts.critic_targets),
+                                rows(ts.critic_opts))
+
+        def one_group(cp, ct, co, obs, act, rew, nobs, nact, done):
             loss_fn = base.distributional_critic_loss(
                 lambda p, o, ac: self.critic.apply(p, o, ac),
-                crit_p, crit_t, self.critic.z_atoms,
-                gb.obs, gb.action, reward, gb.next_obs, next_actions,
-                gb.done, a.gamma ** a.nstep, a.v_min, a.v_max, a.num_atoms)
-            loss, grads = jax.value_and_grad(loss_fn)(crit_p)
-            crit_p, crit_o, gnorm = base.apply_update(
-                self.critic_tx, crit_p, crit_o, grads)
-            crit_t = base.soft_update(crit_t, crit_p, a.tau)
-            critics = self._set_row(critics, i, crit_p)
-            targets = self._set_row(targets, i, crit_t)
-            opts = self._set_row(opts, i, crit_o)
-            c_losses.append(loss)
-            c_gnorms.append(gnorm)
+                cp, ct, self.critic.z_atoms, obs, act, rew, nobs, nact,
+                done, a.gamma ** a.nstep, a.v_min, a.v_max, a.num_atoms)
+            loss, grads = jax.value_and_grad(loss_fn)(cp)
+            cp2, co2, gn = base.apply_update(self.critic_tx, cp, co, grads)
+            ct2 = base.soft_update(ct, cp2, a.tau)
+            return cp2, ct2, co2, loss, gn
 
-            # --- target-action improvement + writeback ---------------------
+        crit, crit_t, crit_o, c_loss, c_gn = jax.vmap(one_group)(
+            crit, crit_t, crit_o, gb.obs, gb.action, reward, gb.next_obs,
+            next_actions, gb.done)
+        wr = lambda full, new: jax.tree.map(
+            lambda x, n: x.at[:G].set(n), full, new)
+        ts = ts._replace(critics=wr(ts.critics, crit),
+                         critic_targets=wr(ts.critic_targets, crit_t),
+                         critic_opts=wr(ts.critic_opts, crit_o))
+
+        # --- action gradient (vmapped) + one scatter writeback --------------
+        def ag(cp, obs, tact):
             q_min = lambda o, ac: self.critic.apply(
-                crit_p, o, ac, method=DistributionalDoubleQ.q_min)
-            new_action = base.action_gradient(
-                q_min, gb.obs, gb.target_action,
-                n_steps=self.cfg.diffusion.update_times,
-                lr=self.cfg.diffusion.action_lr,
-                max_grad_norm=a.max_grad_norm)
-            replay = ep.write_target_actions(replay, i, gb, new_action)
+                cp, o, ac, method=DistributionalDoubleQ.q_min)
+            return base.action_gradient(
+                q_min, obs, tact, n_steps=self.cfg.diffusion.update_times,
+                lr=self.cfg.diffusion.action_lr, max_grad_norm=a.max_grad_norm)
 
-            state_list.append(emb_state)
-            action_list.append(new_action)
-
-        ts = ts._replace(replay=replay, critics=critics,
-                         critic_targets=targets, critic_opts=opts)
+        new_action = jax.vmap(ag)(crit, gb.obs, gb.target_action)  # [G, b, A]
+        g_idx = jnp.repeat(jnp.arange(G), b)
+        slots = gb.slot.reshape(-1)
+        steps = gb.step.reshape(-1)
+        cur = ts.replay.target_action[g_idx, slots, steps]
+        vals = jnp.where(gb.from_buffer.reshape(-1, 1),
+                         new_action.reshape(-1, A), cur)
+        replay = ts.replay._replace(
+            target_action=ts.replay.target_action.at[g_idx, slots,
+                                                     steps].set(vals))
+        ts = ts._replace(replay=replay)
 
         # --- actor distillation over all groups -----------------------------
-        k_loss = keys[-2]
-        states = jnp.concatenate(state_list)
-        tgt_actions = jnp.concatenate(action_list)
+        states = emb_state.reshape(G * b, -1)
+        tgt_actions = new_action.reshape(G * b, A)
 
         def actor_loss_fn(params):
             return self.actor.apply(params, k_loss, states, tgt_actions,
@@ -326,25 +347,26 @@ class AgentDDiffPG:
             self.actor_tx, ts.actor_params, ts.actor_opt, grads)
         ts = ts._replace(actor_params=aparams, actor_opt=aopt)
 
-        # --- RND update -----------------------------------------------------
-        obs_cat = jnp.concatenate(all_obs)
-        next_cat = jnp.concatenate(all_next)
+        # --- RND update ------------------------------------------------------
+        obs_cat = flat(gb.obs)
+        next_cat = flat(gb.next_obs)
         if self.cfg.intrinsic.type == "noveld":
             intr, d_loss, d_gnorm = self.intrinsic.update(
                 ts.intrinsic, jnp.concatenate([obs_cat, next_cat]))
         else:
-            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, obs_cat)
+            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic,
+                                                          obs_cat)
         ts = ts._replace(intrinsic=intr)
 
         logs = {
-            "train/critic_loss": jnp.mean(jnp.stack(c_losses)),
-            "train/critic_grad": jnp.mean(jnp.stack(c_gnorms)),
+            "train/critic_loss": c_loss.mean(),
+            "train/critic_grad": c_gn.mean(),
             "train/actor_loss": a_loss,
             "train/actor_grad": a_gnorm,
             "train/dynamic_loss": d_loss,
             "train/dynamic_grad": d_gnorm,
             "train/mean_action": jnp.abs(tgt_actions).mean(),
-            "train/mean_intrinsic": jnp.concatenate(r_int_all).mean(),
+            "train/mean_intrinsic": r_int.mean(),
         }
         return ts, logs
 

@@ -31,3 +31,7 @@ class AgentDiffQ(AgentDIPO):
 
     def _actor_act(self, params, key, obs):
         return self.actor.apply(params, obs, key, method=Diffusion.sample)
+
+    def _actor_loss(self, params, key, obs, actions):
+        return self.actor.apply(params, key, obs, actions,
+                                method=Diffusion.loss)

@@ -37,6 +37,10 @@ class AgentDIPO(AgentTD3):
     def _actor_act(self, params, key, obs):
         return self.actor.apply(params, key, obs, method=DiffusionPolicy.act)
 
+    def _actor_loss(self, params, key, obs, actions):
+        return self.actor.apply(params, key, obs, actions,
+                                method=DiffusionPolicy.loss)
+
     def _update_once(self, ts, key):
         k_samp, k_cri, k_act, k_loss = jax.random.split(key, 4)
         batch, idx = flat.sample(ts.replay, k_samp, self.cfg.algo.batch_size)
@@ -64,8 +68,7 @@ class AgentDIPO(AgentTD3):
 
         # distill into the diffusion actor (epsilon-MSE)
         def loss_fn(params):
-            return self.actor.apply(params, k_loss, obs, new_action,
-                                    method=DiffusionPolicy.loss)
+            return self._actor_loss(params, k_loss, obs, new_action)
 
         a_loss, grads = jax.value_and_grad(loss_fn)(ts.actor_params)
         params, opt, a_gnorm = base.apply_update(

@@ -164,6 +164,33 @@ class PandaTaskEnv:
         info = {"success": goal_id, "time_outs": truncated & ~succ}
         return new_state, obs, reward, done, info
 
+    # -- batched fast path (channel-last engine) ----------------------------
+
+    def step_batched(self, state: EnvState, action):
+        from ddiffpg_tpu.physics import engine_cl
+
+        B = action.shape[0]
+        ctrl = jax.vmap(self._ctrl_from_action)(state.qpos, action)
+        qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel, ctrl)
+
+        p_ee, _, _, _ = jax.vmap(self._ee_state)(qpos, qvel)
+        succ, goal_id, reward = jax.vmap(self._success_reward)(qpos, p_ee)
+
+        t = state.t + 1
+        truncated = t >= self.max_episode_steps
+        done = succ | truncated
+        obs = jax.vmap(self._obs)(qpos, qvel)
+
+        keys = jax.vmap(jax.random.split)(state.key)
+        reset_state = jax.vmap(self._init_state)(keys[:, 0])
+        cur = EnvState(qpos=qpos, qvel=qvel, t=t, key=keys[:, 1])
+        new_state = jax.tree.map(
+            lambda r, c: jnp.where(
+                done.reshape((-1,) + (1,) * (c.ndim - 1)), r, c),
+            reset_state, cur)
+        info = {"success": goal_id, "time_outs": truncated & ~succ}
+        return new_state, obs, reward, done, info
+
 
 def make_panda_env(name: str, **kwargs):
     """Parse reference env ids: Panda{Task}{Joints}{Dense}{Random}-v3."""

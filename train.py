@@ -24,13 +24,16 @@ import numpy as np
 
 def parse_args(argv):
     algo = "ddiffpg"
+    resume = None
     overrides = []
     for a in argv:
         if a.startswith("algo="):
             algo = a.split("=", 1)[1]
+        elif a.startswith("resume="):
+            resume = a.split("=", 1)[1]
         else:
             overrides.append(a)
-    return algo, overrides
+    return algo, resume, overrides
 
 
 def main(argv=None):
@@ -41,7 +44,8 @@ def main(argv=None):
     from ddiffpg_tpu.utils import checkpoint as ckpt
     from ddiffpg_tpu.utils.logger import Logger
 
-    algo, overrides = parse_args(argv if argv is not None else sys.argv[1:])
+    algo, resume, overrides = parse_args(
+        argv if argv is not None else sys.argv[1:])
     cfg = C.Config(algo=C.algo_preset(algo))
     cfg = cfg.override_strings(overrides)
     cfg = C.preprocess(cfg, if_ddiffpg=(algo.lower() == "ddiffpg"))
@@ -63,19 +67,36 @@ def main(argv=None):
     env = make(cfg.env.name, num_envs=cfg.num_envs, **env_kw)
     eval_env = make(cfg.env.name, num_envs=cfg.eval_num_envs, **env_kw)
 
+    # clean exit on Ctrl-C (reference capture_keyboard_interrupt,
+    # utils/common.py:178-186)
+    import signal
+
+    def _sigint(sig, frame):
+        logger.console("interrupted — exiting")
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, _sigint)
+
     agent = make_agent(cfg.algo.name, env, cfg)
     key = jax.random.PRNGKey(cfg.seed)
     ts = agent.init(key)
 
-    logger.console(f"warmup: {cfg.algo.warm_up} random steps x "
-                   f"{cfg.num_envs} envs")
-    t0 = time.time()
-    ts = agent.warmup(ts)
-    jax.block_until_ready(ts)
-    logger.console(f"warmup done in {time.time() - t0:.1f}s")
+    if resume:
+        ts, meta = ckpt.load(resume, ts)
+        if hasattr(agent, "num_groups"):
+            agent.num_groups = int(meta.get("num_groups", 1))
+        logger.console(f"resumed from {resume} "
+                       f"(num_groups={meta.get('num_groups')})")
+    else:
+        logger.console(f"warmup: {cfg.algo.warm_up} random steps x "
+                       f"{cfg.num_envs} envs")
+        t0 = time.time()
+        ts = agent.warmup(ts)
+        jax.block_until_ready(ts)
+        logger.console(f"warmup done in {time.time() - t0:.1f}s")
 
     is_ddiffpg = cfg.algo.name == "DDiffPG"
-    if is_ddiffpg:
+    if is_ddiffpg and not resume:
         ts = agent.update_cluster(ts)
         logger.console(f"initial clusters: {agent.num_clusters}")
 
