@@ -124,6 +124,21 @@ def update_stats(st: EpisodeStats, reward, done) -> EpisodeStats:
         return_tracker=rt, step_tracker=sp)
 
 
+def noise_std(noise_cfg, it):
+    """Decayed exploration std for 'fixed' noise (reference noise_scheduler,
+    ac_base.py:94-102; decay is None in every shipped config)."""
+    from ddiffpg_tpu.ops import schedules
+
+    if noise_cfg.decay == "linear":
+        return schedules.linear(it, noise_cfg.std_max, noise_cfg.std_min,
+                                noise_cfg.lin_decay_iters)
+    if noise_cfg.decay == "exp":
+        return schedules.exponential(it, noise_cfg.std_max,
+                                     noise_cfg.exp_decay_rate,
+                                     noise_cfg.std_min)
+    return noise_cfg.std_max
+
+
 def explore_action(key, actor_apply, obs, noise_cfg, noise_val=None):
     """Policy action + exploration noise ('fixed' | 'mixed'),
     reference get_actions (td3.py:54-73)."""

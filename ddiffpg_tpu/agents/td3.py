@@ -19,6 +19,7 @@ from ddiffpg_tpu.agents import base
 from ddiffpg_tpu.intrinsic import IntrinsicModule, IntrinsicState
 from ddiffpg_tpu.models.mlp import DistributionalDoubleQ, TanhMLPPolicy
 from ddiffpg_tpu.ops import nstep as nstep_ops
+from ddiffpg_tpu.ops import running_stats as rs
 from ddiffpg_tpu.replay import flat
 
 
@@ -37,6 +38,7 @@ class TD3State(NamedTuple):
     stats: base.EpisodeStats
     key: jax.Array
     global_step: jnp.ndarray
+    obs_rms: Any = None          # RunningMeanStd when cfg.algo.obs_norm
 
 
 def _pos_dim(env_name: str) -> int:
@@ -96,6 +98,8 @@ class AgentTD3:
             stats=base.EpisodeStats.create(self.env.num_envs,
                                            self.cfg.algo.tracker_len),
             key=key, global_step=jnp.asarray(0, jnp.int32),
+            obs_rms=(rs.RunningMeanStd.create((self.obs_dim,))
+                     if self.cfg.algo.obs_norm else None),
         )
 
     # -- acting --------------------------------------------------------------
@@ -104,15 +108,26 @@ class AgentTD3:
         del key
         return self.actor.apply(params, obs)
 
+    def _norm_obs(self, ts, obs):
+        if self.cfg.algo.obs_norm and ts.obs_rms is not None:
+            from ddiffpg_tpu.ops import running_stats as rs
+
+            return rs.normalize(ts.obs_rms, obs)
+        return obs
+
     def _policy_action(self, ts, key, obs):
+        it = ts.global_step / max(self.env.num_envs, 1)
         return base.explore_action(
-            key, lambda k, o: self._actor_act(ts.actor_params, k, o), obs,
-            self.cfg.algo.noise)
+            key, lambda k, o: self._actor_act(ts.actor_params, k, o),
+            self._norm_obs(ts, obs), self.cfg.algo.noise,
+            noise_val=base.noise_std(self.cfg.algo.noise, it))
 
     # -- exploration ---------------------------------------------------------
 
     def _env_step(self, ts: TD3State, random: bool):
         key, k_act, k_rand = jax.random.split(ts.key, 3)
+        if self.cfg.algo.obs_norm and ts.obs_rms is not None:
+            ts = ts._replace(obs_rms=rs.update(ts.obs_rms, ts.obs))
         if random:
             action = jax.random.uniform(
                 k_rand, (self.env.num_envs, self.action_dim),
@@ -158,6 +173,9 @@ class AgentTD3:
         r_int, intrinsic = self.intrinsic.compute_reward(
             ts.intrinsic, obs, next_obs)
         reward = reward + r_int
+        # reference normalizes AFTER the intrinsic reward (td3.py:136-141)
+        obs = self._norm_obs(ts, obs)
+        next_obs = self._norm_obs(ts, next_obs)
 
         next_actions = base.tgt_policy_action(
             k_tgt, lambda k, o: self._actor_act(ts.actor_target, k, o),
@@ -177,6 +195,8 @@ class AgentTD3:
         return ts, loss, gnorm, r_int
 
     def _actor_update(self, ts, key, obs):
+        obs = self._norm_obs(ts, obs)
+
         def loss_fn(params):
             action = self._actor_act(params, key, obs)
             q = self.critic.apply(ts.critic_params, obs, action,

@@ -131,6 +131,7 @@ class Config:
     run_name: Optional[str] = None
     use_wandb: bool = False
     ckpt_freq_mult: int = 5      # checkpoint every eval_freq * this
+    profile: bool = False        # capture a jax.profiler trace of iters 20-22
     # numerics
     param_dtype: str = "float32"
 
