@@ -134,9 +134,23 @@ def main(argv=None):
                     maze_name = cfg.env.name.replace("pointmaze", "antmaze")
                     from ddiffpg_tpu.physics.maze import MAZES
 
-                    img = plotting.plot_traj(MAZES[maze_name],
-                                             np.asarray(xy).reshape(-1, 2))
+                    mm = MAZES[maze_name]
+                    img = plotting.plot_traj(mm, np.asarray(xy).reshape(-1, 2))
                     logger.log_image("eval/map", img, global_steps)
+                    # cluster map / dendrogram / exploration heatmap at the
+                    # reference's eval_freq*5 cadence (ddiffpg_main.py:111-133)
+                    if (is_ddiffpg and iter_t % (cfg.eval_freq * 5) == 0
+                            and agent.last_plot is not None):
+                        trajs, clusters, Z = agent.last_plot
+                        if trajs:
+                            cimg = plotting.plot_cluster(mm, trajs, clusters)
+                            logger.log_image("cluster", cimg, global_steps)
+                        if Z is not None and len(Z):
+                            himg = plotting.plot_hierarchy(Z)
+                            logger.log_image("hierarchy", himg, global_steps)
+                        hm = plotting.plot_heatmap(
+                            np.asarray(ts.density_grid[0]))
+                        logger.log_image("exploration_map", hm, global_steps)
                 except Exception as e:
                     logger.console(f"plotting failed: {e}")
 
