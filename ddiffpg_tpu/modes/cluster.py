@@ -46,7 +46,7 @@ class ClusterManager:
     def __init__(self, capacity: int, max_modes: int = 10,
                  threshold: Optional[float] = None,
                  use_downsampling: bool = False, traj_dim: int = 2,
-                 seed: int = 0, dtw_max_len: int = 768):
+                 seed: int = 0, dtw_max_len: int = 512):
         self.capacity = capacity
         self.max_modes = max_modes
         self.threshold = threshold
@@ -72,32 +72,40 @@ class ClusterManager:
             out.append(np.asarray(tr, np.float64))
         return out
 
+    DTW_CHUNK = 256
+
     def _dtw_many(self, pairs, tr_a, tr_b):
         """Compute DTW for a list of (key, a_idx, b_idx) via the device
-        kernel, batched and padded."""
+        kernel in FIXED-SHAPE chunks ([DTW_CHUNK, dtw_max_len, D]) so the
+        kernel compiles exactly once per manager — pair counts vary at
+        every recluster and shape-polymorphic calls would recompile the
+        wavefront scan each time (minutes on a remote-compile backend)."""
         if not pairs:
             return
         import jax.numpy as jnp
 
         from ddiffpg_tpu.ops.dtw import dtw_batch
 
-        L = max(max(len(tr_a[i]) for _, i, _ in pairs),
-                max(len(tr_b[j]) for _, _, j in pairs))
-        P = len(pairs)
-        D = tr_a[0].shape[-1]
-        A = np.zeros((P, L, D), np.float32)
-        B = np.zeros((P, L, D), np.float32)
-        la = np.zeros(P, np.int32)
-        lb = np.zeros(P, np.int32)
-        for k, (_, i, j) in enumerate(pairs):
-            A[k, : len(tr_a[i])] = tr_a[i]
-            B[k, : len(tr_b[j])] = tr_b[j]
-            la[k], lb[k] = len(tr_a[i]), len(tr_b[j])
-        d = np.asarray(dtw_batch(jnp.asarray(A), jnp.asarray(B),
-                                 jnp.asarray(la), jnp.asarray(lb)))
-        for k, (key, _, _) in enumerate(pairs):
-            self.cache[key] = float(d[k])
-            self.cache[(key[1], key[0])] = float(d[k])
+        L = self.dtw_max_len
+        D = tr_a[next(iter(tr_a))].shape[-1] if isinstance(tr_a, dict) \
+            else tr_a[0].shape[-1]
+        C = self.DTW_CHUNK
+        for c0 in range(0, len(pairs), C):
+            chunk = pairs[c0: c0 + C]
+            A = np.zeros((C, L, D), np.float32)
+            B = np.zeros((C, L, D), np.float32)
+            la = np.ones(C, np.int32)
+            lb = np.ones(C, np.int32)
+            for k, (_, i, j) in enumerate(chunk):
+                ta, tb = tr_a[i], tr_b[j]
+                A[k, : len(ta)] = ta
+                B[k, : len(tb)] = tb
+                la[k], lb[k] = len(ta), len(tb)
+            d = np.asarray(dtw_batch(jnp.asarray(A), jnp.asarray(B),
+                                     jnp.asarray(la), jnp.asarray(lb)))
+            for k, (key, _, _) in enumerate(chunk):
+                self.cache[key] = float(d[k])
+                self.cache[(key[1], key[0])] = float(d[k])
 
     # -- main entry ----------------------------------------------------------
 

@@ -85,6 +85,11 @@ def main(argv=None):
         ts, meta = ckpt.load(resume, ts)
         if hasattr(agent, "num_groups"):
             agent.num_groups = int(meta.get("num_groups", 1))
+            agent.num_clusters = agent.num_groups - 1
+        if meta.get("last_cluster") is not None and hasattr(
+                agent, "cluster_manager"):
+            agent.cluster_manager.scheduler.last_cluster = \
+                meta["last_cluster"]
         logger.console(f"resumed from {resume} "
                        f"(num_groups={meta.get('num_groups')})")
     else:
@@ -155,8 +160,11 @@ def main(argv=None):
                     logger.console(f"plotting failed: {e}")
 
             if iter_t % (cfg.eval_freq * cfg.ckpt_freq_mult) == 0 and iter_t:
-                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts,
-                          {"num_groups": getattr(agent, "num_groups", 1)})
+                meta = {"num_groups": getattr(agent, "num_groups", 1)}
+                if is_ddiffpg:
+                    meta["last_cluster"] = \
+                        agent.cluster_manager.scheduler.last_cluster
+                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta)
 
         if iter_t == 20 and cfg.profile:
             import jax.profiler
