@@ -167,13 +167,15 @@ def main(argv=None):
                 ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta)
 
         if iter_t == 20 and cfg.profile:
-            import jax.profiler
+            from jax import profiler as _profiler
 
-            jax.profiler.start_trace(str(logger.dir / "profile"))
+            _profiler.start_trace(str(logger.dir / "profile"))
         ts, logs = agent.train_iter(ts)
         if iter_t == 22 and cfg.profile:
+            from jax import profiler as _profiler
+
             jax.block_until_ready(ts)
-            jax.profiler.stop_trace()
+            _profiler.stop_trace()
             logger.console(f"profiler trace -> {logger.dir}/profile")
         global_steps += steps_per_iter
         iter_t += 1
