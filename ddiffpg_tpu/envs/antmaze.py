@@ -96,9 +96,12 @@ class AntMazeEnv:
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         terminated = reached
-        done = terminated | truncated
+        # safety net: a numerically-broken env terminates and resets
+        bad = ~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all())
+        done = terminated | truncated | bad
 
-        obs = self._obs(qpos, qvel)
+        obs = jnp.nan_to_num(self._obs(qpos, qvel), nan=0.0,
+                             posinf=0.0, neginf=0.0)
 
         # auto-reset
         k_reset, key = jax.random.split(state.key)
@@ -134,8 +137,12 @@ class AntMazeEnv:
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps
-        done = reached | truncated
-        obs = jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1)
+        bad = ~(jnp.isfinite(qpos).all(axis=-1)
+                & jnp.isfinite(qvel).all(axis=-1))
+        done = reached | truncated | bad
+        obs = jnp.nan_to_num(
+            jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1),
+            nan=0.0, posinf=0.0, neginf=0.0)
 
         keys = jax.vmap(jax.random.split)(state.key)
         reset_state = jax.vmap(self._init_state)(keys[:, 0])

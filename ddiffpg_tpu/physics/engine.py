@@ -526,7 +526,7 @@ def _substep(m: Model, qpos, qvel, ctrl):
     M = crba(m, I6, S)
     udot = chol_solve_small(M, tau)
 
-    u_new = u + m.dt * udot
+    u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
     # semi-implicit: integrate positions with the new velocities
     qvel_new = u_to_qvel(m, u_new, body_pos)
     qpos_new = qpos

@@ -526,7 +526,7 @@ def _substep(m: Model, qpos, qvel, ctrl):
     M = crba(m, I6, S)
     udot = _chol_solve_envs_last(M, tau)
 
-    u_new = u + m.dt * udot
+    u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
     qvel_new = u_to_qvel(m, u_new, body_pos)
     qpos_new = qpos
     one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]

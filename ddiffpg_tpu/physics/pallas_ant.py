@@ -451,8 +451,9 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
                 acc = acc - L[k2][i2] * ud[k2]
             ud[i2] = acc / L[i2][i2]
 
-        # ---------------- integrate (semi-implicit)
-        u_new = [u[d] + dt * ud[d] for d in range(nv)]
+        # ---------------- integrate (semi-implicit, hard velocity clamp)
+        vmax = float(m.max_qvel)
+        u_new = [jnp.clip(u[d] + dt * ud[d], -vmax, vmax) for d in range(nv)]
         w_new = (u_new[3], u_new[4], u_new[5])
         vp_new = vadd((u_new[0], u_new[1], u_new[2]),
                       vcross(w_new, pos[0]))

@@ -103,6 +103,11 @@ class Model:
     friction_vel_tol: float = 0.1   # viscous->Coulomb transition velocity
     limit_stiffness: float = 300.0
     limit_damping: float = 5.0
+    # hard generalized-velocity clamp applied every substep: a rare
+    # penalty-contact corner (leg pinned against a wall under max torque)
+    # can otherwise pump energy until the state overflows and NaNs poison
+    # the replay (observed once ~670k steps into an antmaze run)
+    max_qvel: float = 100.0
 
 
 @dataclass
