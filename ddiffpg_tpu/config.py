@@ -132,6 +132,7 @@ class Config:
     use_wandb: bool = False
     ckpt_freq_mult: int = 5      # checkpoint every eval_freq * this
     profile: bool = False        # capture a jax.profiler trace of iters 20-22
+    device: str = "auto"         # 'auto' | 'cpu' | 'tpu' (forces jax platform)
     # numerics
     param_dtype: str = "float32"
 

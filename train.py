@@ -48,6 +48,11 @@ def main(argv=None):
         argv if argv is not None else sys.argv[1:])
     cfg = C.Config(algo=C.algo_preset(algo))
     cfg = cfg.override_strings(overrides)
+    if cfg.device != "auto":
+        # must update the config (this machine's sitecustomize overrides
+        # the JAX_PLATFORMS environment variable at interpreter start)
+        jax.config.update("jax_platforms",
+                          "cpu" if cfg.device == "cpu" else cfg.device)
     cfg = C.preprocess(cfg, if_ddiffpg=(algo.lower() == "ddiffpg"))
     cfg = cfg.override_strings(overrides)   # CLI wins over per-env presets
 
