@@ -96,8 +96,13 @@ class AntMazeEnv:
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         terminated = reached
-        # safety net: a numerically-broken env terminates and resets
-        bad = ~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all())
+        # safety net: numerically-broken or escaped envs terminate and
+        # reset (a tunneling event at clamp speed can otherwise leave the
+        # world and eventually overflow; MuJoCo's plain ant uses an
+        # aliveness envelope similarly, ant.py:84-86)
+        bad = (~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all())
+               | (jnp.abs(qpos[:2]) > 60.0).any()
+               | (qpos[2] < -0.5) | (qpos[2] > 5.0))
         done = terminated | truncated | bad
 
         obs = jnp.nan_to_num(self._obs(qpos, qvel), nan=0.0,
@@ -137,8 +142,10 @@ class AntMazeEnv:
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps
-        bad = ~(jnp.isfinite(qpos).all(axis=-1)
-                & jnp.isfinite(qvel).all(axis=-1))
+        bad = (~(jnp.isfinite(qpos).all(axis=-1)
+                 & jnp.isfinite(qvel).all(axis=-1))
+               | (jnp.abs(qpos[:, :2]) > 60.0).any(axis=-1)
+               | (qpos[:, 2] < -0.5) | (qpos[:, 2] > 5.0))
         done = reached | truncated | bad
         obs = jnp.nan_to_num(
             jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1),

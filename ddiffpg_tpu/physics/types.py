@@ -107,7 +107,7 @@ class Model:
     # penalty-contact corner (leg pinned against a wall under max torque)
     # can otherwise pump energy until the state overflows and NaNs poison
     # the replay (observed once ~670k steps into an antmaze run)
-    max_qvel: float = 100.0
+    max_qvel: float = 50.0
 
 
 @dataclass
