@@ -1,0 +1,43 @@
+"""Pallas ant-substep kernel: interpret-mode parity with engine_cl."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from ddiffpg_tpu.physics import engine_cl, maze
+from ddiffpg_tpu.physics import pallas_ant
+from ddiffpg_tpu.physics.ant import build_ant
+
+
+def test_interpret_parity_with_engine_cl():
+    m = build_ant(static_boxes=maze.compile_boxes(maze.MAZE_v1),
+                  dt=0.01, n_substeps=1)
+    B = 128
+    rng = np.random.RandomState(0)
+    qpos = np.tile(m.init_qpos[None], (B, 1)).astype(np.float32)
+    qpos[:, :2] += rng.uniform(-1, 1, (B, 2))
+    qpos[:, 2] = rng.uniform(0.3, 0.8, B)
+    qpos[:, 7:] += rng.uniform(-0.2, 0.2, (B, 8))
+    qvel = rng.uniform(-1, 1, (B, 14)).astype(np.float32)
+    ctrl = rng.uniform(-1, 1, (B, 8)).astype(np.float32)
+
+    ref = engine_cl.step(m, jnp.asarray(qpos), jnp.asarray(qvel),
+                         jnp.asarray(ctrl))
+    with pltpu.force_tpu_interpret_mode():
+        fn = pallas_ant.make_substep_kernel(m, tile=128)
+        got = fn(jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=5e-5)
+
+
+def test_unsupported_topology_rejected():
+    import pytest
+
+    from ddiffpg_tpu.physics.panda import build_panda_scene
+
+    m, _ = build_panda_scene("Reach")
+    with pytest.raises(AssertionError):
+        pallas_ant.make_substep_kernel(m)
