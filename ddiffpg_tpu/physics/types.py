@@ -103,11 +103,13 @@ class Model:
     friction_vel_tol: float = 0.1   # viscous->Coulomb transition velocity
     limit_stiffness: float = 300.0
     limit_damping: float = 5.0
-    # hard generalized-velocity clamp applied every substep: a rare
-    # penalty-contact corner (leg pinned against a wall under max torque)
-    # can otherwise pump energy until the state overflows and NaNs poison
-    # the replay (observed once ~670k steps into an antmaze run)
-    max_qvel: float = 50.0
+    # hard generalized-velocity clamp applied every substep. Two failure
+    # modes motivate it: penalty-contact corners pumping energy until the
+    # state overflows, and fast falls tunneling through the ground plane
+    # (one substep of travel must stay below the smallest contact-sphere
+    # radius: 20 m/s * dt 0.01 = 0.2 m < torso r 0.25). Legitimate ant
+    # motion stays well under 20 m/s / 20 rad/s.
+    max_qvel: float = 20.0
 
 
 @dataclass
