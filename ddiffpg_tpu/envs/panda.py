@@ -31,7 +31,7 @@ from ddiffpg_tpu.physics import panda as P
 class PandaTaskEnv:
     def __init__(self, task: str = "Reach", reward_type: str = "sparse",
                  control_type: str = "joints", random_init_pos: bool = False,
-                 max_episode_steps: int = 100):
+                 max_episode_steps: int = 100, use_pallas: str | bool = "auto"):
         self.task = task
         self.reward_type = reward_type
         self.control_type = control_type
@@ -39,6 +39,15 @@ class PandaTaskEnv:
         self.max_episode_steps = max_episode_steps
         self.model, self.meta = P.build_panda_scene(task)
         self.block_gripper = task == "Reach"
+        self._pallas_tile = 256
+        self._pallas_step = None
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas:
+            from ddiffpg_tpu.physics import pallas_ant
+
+            self._pallas_step = pallas_ant.make_substep_kernel(
+                self.model, tile=self._pallas_tile)
 
         n_task_obs = {"Reach": 0, "PegInsertion": 0, "DrawerMulti": 4,
                       "Cabinet": 1}[task]
@@ -171,7 +180,11 @@ class PandaTaskEnv:
 
         B = action.shape[0]
         ctrl = jax.vmap(self._ctrl_from_action)(state.qpos, action)
-        qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel, ctrl)
+        if self._pallas_step is not None and B % self._pallas_tile == 0:
+            qpos, qvel = self._pallas_step(state.qpos, state.qvel, ctrl)
+        else:
+            qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel,
+                                        ctrl)
 
         p_ee, _, _, _ = jax.vmap(self._ee_state)(qpos, qvel)
         succ, goal_id, reward = jax.vmap(self._success_reward)(qpos, p_ee)

@@ -130,10 +130,14 @@ def cross_force(v, f):
 
 
 def _check_supported(m: Model):
-    assert m.jnt_type[0] == FREE and (m.jnt_type[1:] == HINGE).all(), \
-        "pallas kernel supports FREE root + HINGE tree"
-    assert np.allclose(m.jnt_pos, 0.0), "hinges must anchor at body origin"
-    assert m.sdf_dist.size == 0 or True  # SDF ignored; boxes used
+    from ddiffpg_tpu.physics.types import SLIDE as _SL
+
+    for i in range(m.nb):
+        t = int(m.jnt_type[i])
+        assert t in (FREE, HINGE, _SL, 3), "unknown joint type"
+        if t == FREE:
+            assert int(m.parent[i]) < 0, "FREE joints only at roots"
+    assert np.allclose(m.jnt_pos, 0.0), "joints must anchor at body origin"
 
 
 def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
@@ -144,8 +148,12 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
     n_sub = n_substeps if n_substeps is not None else m.n_substeps
     dt = float(m.dt)
     parent = [int(p) for p in m.parent]
+    jtype = [int(t) for t in m.jnt_type]
     axes = [tuple(float(x) for x in m.jnt_axis[i]) for i in range(nb)]
     body_pos = [tuple(float(x) for x in m.body_pos[i]) for i in range(nb)]
+    body_quat = [tuple(float(x) for x in m.body_quat[i]) for i in range(nb)]
+    ident_quat = [abs(q[0] - 1.0) < 1e-12 and abs(q[1]) + abs(q[2])
+                  + abs(q[3]) < 1e-12 for q in body_quat]
     mass = [float(x) for x in m.mass]
     com = [tuple(float(x) for x in m.com[i]) for i in range(nb)]
     inertia = [[[float(m.inertia[i][r][c]) for c in range(3)]
@@ -158,6 +166,22 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
     lim_hi = [float(x) for x in m.dof_limit_hi]
     act_dof = [int(x) for x in m.act_dof]
     act_gear = [float(x) for x in m.act_gear]
+    act_type = [int(x) for x in m.act_type]
+    act_kp = [float(x) for x in m.act_kp]
+    act_kd = [float(x) for x in m.act_kd]
+    act_force = [float(x) for x in m.act_force]
+    act_qadr = [int(m.jnt_qposadr[int(m.dof_body[d])]) for d in m.act_dof]
+    # dynamic BOX geoms (drawers / doors): (body, local pos, local quat,
+    # half extents, friction)
+    dyn_boxes = []
+    for gi in range(m.ng):
+        if int(m.geom_type[gi]) == 2:  # BOX
+            dyn_boxes.append((
+                int(m.geom_body[gi]),
+                tuple(float(x) for x in m.geom_pos[gi]),
+                tuple(float(x) for x in m.geom_quat[gi]),
+                tuple(float(x) for x in m.geom_size[gi]),
+                float(m.geom_friction[gi])))
     gravity = tuple(float(g) for g in m.gravity)
     omega_c = 1.0 / float(m.contact_timeconst)
     zeta = float(m.contact_dampratio)
@@ -189,7 +213,11 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
               tuple(float(x) for x in m.static_box_max[i]))
              for i in range(m.nsb)]
 
-    hinges = [i for i in range(nb) if m.jnt_type[i] == HINGE]
+    SLIDE_T = 2
+    FIXED_T = 3
+    frees = [i for i in range(nb) if jtype[i] == FREE]
+    one_dof = [i for i in range(nb) if jtype[i] in (HINGE, SLIDE_T)]
+
 
     # per-probe constants travel as a kernel input (pallas forbids captured
     # non-scalar constants): columns = radius, friction, k_n, c_n
@@ -204,43 +232,76 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         T = q[0].shape[-1]
         zero = jnp.zeros_like(q[0])
 
-        # ---------------- FK
+        # ---------------- FK (FREE roots, HINGE, SLIDE, FIXED)
         pos = [None] * nb
         quat = [None] * nb
-        pos[0] = (q[0], q[1], q[2])
-        quat[0] = (q[3], q[4], q[5], q[6])
-        for i in hinges:
+        for i in range(nb):
+            t = jtype[i]
+            qa = qposadr[i]
+            if t == FREE:
+                pos[i] = (q[qa], q[qa + 1], q[qa + 2])
+                quat[i] = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+                continue
             p = parent[i]
-            p0 = vadd(pos[p], qrot(quat[p], body_pos[i]))
-            qj = qaxis_angle(axes[i], q[qposadr[i]])
-            quat[i] = qmul(quat[p], qj)
-            pos[i] = p0
+            if p >= 0:
+                p0 = vadd(pos[p], qrot(quat[p], body_pos[i]))
+                q0 = quat[p] if ident_quat[i] else qmul(quat[p], body_quat[i])
+            else:
+                p0 = tuple(zero + body_pos[i][k] for k in range(3))
+                q0 = tuple(zero + body_quat[i][k] for k in range(4))
+            if t == HINGE:
+                qj = qaxis_angle(axes[i], q[qa])
+                quat[i] = qmul(q0, qj)
+                pos[i] = p0
+            elif t == SLIDE_T:
+                ax_w = qrot(q0, axes[i])
+                pos[i] = vadd(p0, vscale(ax_w, q[qa]))
+                quat[i] = q0
+            else:  # FIXED
+                pos[i] = p0
+                quat[i] = q0
 
         # ---------------- motion subspaces (world origin coords)
         S = [None] * nv
-        for k in range(3):          # root translation: [0; e_k]
-            e = [zero, zero, zero]
-            e[k] = zero + 1.0
-            S[k] = (tuple([zero] * 3), tuple(e))
-        for k in range(3):          # root rotation about origin: [e_k; 0]
-            e = [zero, zero, zero]
-            e[k] = zero + 1.0
-            S[3 + k] = (tuple(e), tuple([zero] * 3))
-        for i in hinges:
+        for i in frees:
+            d = dofadr[i]
+            for k in range(3):      # translation: [0; e_k]
+                e = [zero, zero, zero]
+                e[k] = zero + 1.0
+                S[d + k] = (tuple([zero] * 3), tuple(e))
+            for k in range(3):      # rotation about origin: [e_k; 0]
+                e = [zero, zero, zero]
+                e[k] = zero + 1.0
+                S[d + 3 + k] = (tuple(e), tuple([zero] * 3))
+        for i in one_dof:
             w = qrot(quat[i], axes[i])
-            S[dofadr[i]] = (w, vcross(pos[i], w))
+            if jtype[i] == HINGE:
+                S[dofadr[i]] = (w, vcross(pos[i], w))
+            else:
+                S[dofadr[i]] = (tuple([zero] * 3), w)
 
-        # ---------------- qvel -> u (v_origin, omega)
+        # ---------------- qvel -> u (free joints: (v_origin, omega))
         u = list(qd)
-        wroot = (qd[3], qd[4], qd[5])
-        vo = vsub((qd[0], qd[1], qd[2]), vcross(wroot, pos[0]))
-        u[0], u[1], u[2] = vo
+        for i in frees:
+            d = dofadr[i]
+            wroot = (qd[d + 3], qd[d + 4], qd[d + 5])
+            vo = vsub((qd[d], qd[d + 1], qd[d + 2]), vcross(wroot, pos[i]))
+            u[d], u[d + 1], u[d + 2] = vo
 
         # ---------------- body spatial velocities
         V = [None] * nb
-        V[0] = ((u[3], u[4], u[5]), (u[0], u[1], u[2]))
-        for i in hinges:
-            V[i] = sv_add(V[parent[i]], sv_scale(S[dofadr[i]], u[dofadr[i]]))
+        for i in range(nb):
+            p = parent[i]
+            base = V[p] if p >= 0 else ((zero, zero, zero),
+                                        (zero, zero, zero))
+            if jtype[i] == FREE:
+                d = dofadr[i]
+                V[i] = ((u[d + 3], u[d + 4], u[d + 5]),
+                        (u[d], u[d + 1], u[d + 2]))
+            elif jtype[i] in (HINGE, SLIDE_T):
+                V[i] = sv_add(base, sv_scale(S[dofadr[i]], u[dofadr[i]]))
+            else:
+                V[i] = base
 
         # ---------------- spatial inertias about the world origin
         I6 = [None] * nb            # 6x6 nested lists of lane vectors
@@ -343,6 +404,91 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             fy = fy + gy
             fz = fz + gz
 
+        # ---- dynamic BOX geoms (drawers / doors): per-probe OBB test in
+        # the box's local frame; equal-and-opposite reaction on the box
+        for (b2, gp2, gq2, half, bfric) in dyn_boxes:
+            bq = quat[b2] if all(abs(x) < 1e-12 for x in gq2[1:]) \
+                else qmul(quat[b2], gq2)
+            bp = vadd(pos[b2], qrot(quat[b2], gp2))
+            # probes -> box frame (conjugate rotate)
+            relx, rely, relz = px - bp[0], py - bp[1], pz - bp[2]
+            cbq = (bq[0], -bq[1], -bq[2], -bq[3])
+            lx, ly, lz = qrot(cbq, (relx, rely, relz))
+            cx_ = jnp.clip(lx, -half[0], half[0])
+            cy_ = jnp.clip(ly, -half[1], half[1])
+            cz_ = jnp.clip(lz, -half[2], half[2])
+            dx, dy, dz = lx - cx_, ly - cy_, lz - cz_
+            d_out = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            outside = d_out > 1e-9
+            inv = 1.0 / jnp.where(outside, d_out, 1.0)
+            fl = [lx + half[0], half[0] - lx, ly + half[1], half[1] - ly,
+                  lz + half[2], half[2] - lz]
+            d_in = fl[0]
+            for f_ in fl[1:]:
+                d_in = jnp.minimum(d_in, f_)
+            nrm = [(-1.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, -1.0, 0.0),
+                   (0.0, 1.0, 0.0), (0.0, 0.0, -1.0), (0.0, 0.0, 1.0)]
+            nxi = jnp.zeros_like(px)
+            nyi = jnp.zeros_like(px)
+            nzi = jnp.zeros_like(px)
+            chosen = jnp.zeros_like(px, dtype=jnp.bool_)
+            for f_, (a1, a2, a3) in zip(fl, nrm):
+                hit = (f_ <= d_in) & (~chosen)
+                nxi = jnp.where(hit, a1, nxi)
+                nyi = jnp.where(hit, a2, nyi)
+                nzi = jnp.where(hit, a3, nzi)
+                chosen = chosen | hit
+            nlx = jnp.where(outside, dx * inv, nxi)
+            nly = jnp.where(outside, dy * inv, nyi)
+            nlz = jnp.where(outside, dz * inv, nzi)
+            nx, ny, nz = qrot(bq, (nlx, nly, nlz))
+            dist = jnp.where(outside, d_out, -d_in) - rad
+            # relative velocity: probe minus box-point velocity
+            wb, vob = V[b2]
+            vbx = vob[0] + wb[1] * pz - wb[2] * py
+            vby = vob[1] + wb[2] * px - wb[0] * pz
+            vbz = vob[2] + wb[0] * py - wb[1] * px
+            rvx, rvy, rvz = vx - vbx, vy - vby, vz - vbz
+            pen = jnp.maximum(-dist, 0.0)
+            v_n = rvx * nx + rvy * ny + rvz * nz
+            f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
+            f_n = jnp.where(pen > 0, f_n, 0.0)
+            tx = rvx - v_n * nx
+            ty = rvy - v_n * ny
+            tz = rvz - v_n * nz
+            vt = jnp.sqrt(tx * tx + ty * ty + tz * tz + vtol * vtol * 1e-4)
+            scale = jnp.minimum(1.0, vt / vtol)
+            ft = -fric * f_n * scale / vt
+            gx = f_n * nx + ft * tx
+            gy = f_n * ny + ft * ty
+            gz = f_n * nz + ft * tz
+            # zero out probes living on the box's own body (in-kernel iota
+            # mask; materialized constants can't be captured by pallas)
+            own = [k for k, (pb, _, _, _) in enumerate(probes) if pb == b2]
+            if own:
+                rowid = jax.lax.broadcasted_iota(
+                    jnp.int32, (len(probes), 1), 0)
+                keep = jnp.ones((len(probes), 1), jnp.float32)
+                for k in own:
+                    keep = keep * (rowid != k).astype(jnp.float32)
+                gx = gx * keep
+                gy = gy * keep
+                gz = gz * keep
+            fx = fx + gx
+            fy = fy + gy
+            fz = fz + gz
+            # reaction on the box body (sum over probes)
+            n_ox = (py * gz - pz * gy).sum(axis=0, keepdims=True)
+            n_oy = (pz * gx - px * gz).sum(axis=0, keepdims=True)
+            n_oz = (px * gy - py * gx).sum(axis=0, keepdims=True)
+            fsx = gx.sum(axis=0, keepdims=True)
+            fsy = gy.sum(axis=0, keepdims=True)
+            fsz = gz.sum(axis=0, keepdims=True)
+            f_ext[b2] = sv_add(f_ext[b2], ((zero - n_ox, zero - n_oy,
+                                            zero - n_oz),
+                                           (zero - fsx, zero - fsy,
+                                            zero - fsz)))
+
         # accumulate probe forces to bodies as [n_o; f] at world origin
         row = 0
         for b, off, r, fr in probes:
@@ -356,10 +502,15 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         a0 = ((zero, zero, zero),
               (zero - gravity[0], zero - gravity[1], zero - gravity[2]))
         A = [None] * nb
-        A[0] = a0
-        for i in hinges:
-            vJ = sv_scale(S[dofadr[i]], u[dofadr[i]])
-            A[i] = sv_add(A[parent[i]], cross_motion(V[parent[i]], vJ))
+        for i in range(nb):
+            p = parent[i]
+            if p < 0 or jtype[i] == FREE:
+                A[i] = a0
+            elif jtype[i] in (HINGE, SLIDE_T):
+                vJ = sv_scale(S[dofadr[i]], u[dofadr[i]])
+                A[i] = sv_add(A[p], cross_motion(V[p], vJ))
+            else:  # FIXED
+                A[i] = A[p]
         fb = [None] * nb
         for i in range(nb):
             IA = I6vec(I6[i], A[i])
@@ -367,12 +518,13 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             net = sv_add(IA, cross_force(V[i], IV))
             fb[i] = (vsub(net[0], f_ext[i][0]), vsub(net[1], f_ext[i][1]))
         for i in range(nb - 1, 0, -1):
-            fb[parent[i]] = sv_add(fb[parent[i]], fb[i])
+            if parent[i] >= 0:
+                fb[parent[i]] = sv_add(fb[parent[i]], fb[i])
+        ndofs = {FREE: 6, HINGE: 1, SLIDE_T: 1, FIXED_T: 0}
         tau_bias = [None] * nv
         for i in range(nb):
             d0 = dofadr[i]
-            nd = 6 if m.jnt_type[i] == FREE else 1
-            for k in range(nd):
+            for k in range(ndofs[jtype[i]]):
                 sv = S[d0 + k]
                 tau_bias[d0 + k] = (vdot(sv[0], fb[i][0])
                                     + vdot(sv[1], fb[i][1]))
@@ -381,6 +533,8 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         Ic = [[[x for x in r] for r in I6[i]] for i in range(nb)]
         for i in range(nb - 1, 0, -1):
             p = parent[i]
+            if p < 0:
+                continue
             for r in range(6):
                 for c in range(6):
                     Ic[p][r][c] = Ic[p][r][c] + Ic[i][r][c]
@@ -392,12 +546,11 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         # ancestors of each dof (static)
         anc = []
         for d in range(nv):
-            bd = dof_body[d]
             path = set()
-            bi = bd
+            bi = dof_body[d]
             while bi >= 0:
                 path.add(bi)
-                bi = parent[bi] if bi > 0 else -1
+                bi = parent[bi]
             anc.append([e for e in range(d + 1) if dof_body[e] in path])
         M = [[None] * nv for _ in range(nv)]
         for d in range(nv):
@@ -415,10 +568,17 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         # ---------------- applied + passive torques
         tau = [zero - damping[d] * u[d] for d in range(nv)]
         for a_i, d in enumerate(act_dof):
-            cc = jnp.clip(ctrl_rows[a_i], -1.0, 1.0)
-            tau[d] = tau[d] + act_gear[a_i] * cc
-        for i in hinges:
+            if act_type[a_i] == 1:       # position servo (PD, force-limited)
+                f = act_kp[a_i] * (ctrl_rows[a_i] - q[act_qadr[a_i]]) \
+                    - act_kd[a_i] * u[d]
+                tau[d] = tau[d] + jnp.clip(f, -act_force[a_i], act_force[a_i])
+            else:                        # direct torque motor
+                cc = jnp.clip(ctrl_rows[a_i], -1.0, 1.0)
+                tau[d] = tau[d] + act_gear[a_i] * cc
+        for i in one_dof:
             d = dofadr[i]
+            if not np.isfinite(lim_lo[d]) and not np.isfinite(lim_hi[d]):
+                continue
             qi = q[qposadr[i]]
             over = jnp.maximum(qi - lim_hi[d], 0.0)
             under = jnp.maximum(lim_lo[d] - qi, 0.0)
@@ -454,28 +614,29 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         # ---------------- integrate (semi-implicit, hard velocity clamp)
         vmax = float(m.max_qvel)
         u_new = [jnp.clip(u[d] + dt * ud[d], -vmax, vmax) for d in range(nv)]
-        w_new = (u_new[3], u_new[4], u_new[5])
-        vp_new = vadd((u_new[0], u_new[1], u_new[2]),
-                      vcross(w_new, pos[0]))
         qd_new = list(u_new)
-        qd_new[0], qd_new[1], qd_new[2] = vp_new
-
         q_new = list(q)
-        q_new[0] = q[0] + dt * vp_new[0]
-        q_new[1] = q[1] + dt * vp_new[1]
-        q_new[2] = q[2] + dt * vp_new[2]
-        # quaternion integrate with world omega
-        angle = jnp.sqrt(w_new[0]**2 + w_new[1]**2 + w_new[2]**2)
-        safe = jnp.where(angle > 1e-9, angle, 1.0)
-        ax = (w_new[0] / safe, w_new[1] / safe, w_new[2] / safe)
-        half = angle * dt * 0.5
-        dq = (jnp.cos(half), ax[0] * jnp.sin(half), ax[1] * jnp.sin(half),
-              ax[2] * jnp.sin(half))
-        qn = qmul(dq, (q[3], q[4], q[5], q[6]))
-        norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
-        for k in range(4):
-            q_new[3 + k] = qn[k] / norm
-        for i in hinges:
+        for i in frees:
+            d, qa = dofadr[i], qposadr[i]
+            w_new = (u_new[d + 3], u_new[d + 4], u_new[d + 5])
+            vp_new = vadd((u_new[d], u_new[d + 1], u_new[d + 2]),
+                          vcross(w_new, pos[i]))
+            qd_new[d], qd_new[d + 1], qd_new[d + 2] = vp_new
+            q_new[qa] = q[qa] + dt * vp_new[0]
+            q_new[qa + 1] = q[qa + 1] + dt * vp_new[1]
+            q_new[qa + 2] = q[qa + 2] + dt * vp_new[2]
+            # quaternion integrate with world omega
+            angle = jnp.sqrt(w_new[0]**2 + w_new[1]**2 + w_new[2]**2)
+            safe = jnp.where(angle > 1e-9, angle, 1.0)
+            ax = (w_new[0] / safe, w_new[1] / safe, w_new[2] / safe)
+            half = angle * dt * 0.5
+            dq = (jnp.cos(half), ax[0] * jnp.sin(half),
+                  ax[1] * jnp.sin(half), ax[2] * jnp.sin(half))
+            qn = qmul(dq, (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6]))
+            norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
+            for k in range(4):
+                q_new[qa + 3 + k] = qn[k] / norm
+        for i in one_dof:
             q_new[qposadr[i]] = q[qposadr[i]] + dt * qd_new[dofadr[i]]
         return q_new, qd_new
 
