@@ -76,20 +76,34 @@ class ClusterManager:
 
     def _dtw_many(self, pairs, tr_a, tr_b):
         """Compute DTW for a list of (key, a_idx, b_idx) via the device
-        kernel in FIXED-SHAPE chunks ([DTW_CHUNK, dtw_max_len, D]) so the
-        kernel compiles exactly once per manager — pair counts vary at
-        every recluster and shape-polymorphic calls would recompile the
-        wavefront scan each time (minutes on a remote-compile backend)."""
+        kernel in fixed-shape, length-bucketed chunks ([DTW_CHUNK, L, D],
+        L in {64,128,256,512}) so at most a handful of kernel shapes ever
+        compile — pair counts vary at every recluster and
+        shape-polymorphic calls would recompile the wavefront scan each
+        time (minutes on a remote-compile backend)."""
         if not pairs:
             return
+        D = tr_a[next(iter(tr_a))].shape[-1] if isinstance(tr_a, dict) \
+            else tr_a[0].shape[-1]
+        C = self.DTW_CHUNK
+        # bucket by length so short trajectories don't pay the full-length
+        # wavefront (bounded set of shapes -> bounded compiles)
+        buckets = {}
+        for p in pairs:
+            ln = max(len(tr_a[p[1]]), len(tr_b[p[2]]), 2)
+            L = 64
+            while L < ln:
+                L *= 2
+            L = min(L, self.dtw_max_len)
+            buckets.setdefault(L, []).append(p)
+        for L, bpairs in buckets.items():
+            self._dtw_bucket(bpairs, tr_a, tr_b, L, D, C)
+
+    def _dtw_bucket(self, pairs, tr_a, tr_b, L, D, C):
         import jax.numpy as jnp
 
         from ddiffpg_tpu.ops.dtw import dtw_batch
 
-        L = self.dtw_max_len
-        D = tr_a[next(iter(tr_a))].shape[-1] if isinstance(tr_a, dict) \
-            else tr_a[0].shape[-1]
-        C = self.DTW_CHUNK
         for c0 in range(0, len(pairs), C):
             chunk = pairs[c0: c0 + C]
             A = np.zeros((C, L, D), np.float32)
