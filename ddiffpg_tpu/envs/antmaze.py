@@ -102,7 +102,7 @@ class AntMazeEnv:
         # aliveness envelope similarly, ant.py:84-86)
         bad = (~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all())
                | (jnp.abs(qpos[:2]) > 60.0).any()
-               | (qpos[2] < -0.5) | (qpos[2] > 5.0))
+               | (qpos[2] < -0.5) | (qpos[2] > 50.0))
         done = terminated | truncated | bad
 
         obs = jnp.nan_to_num(self._obs(qpos, qvel), nan=0.0,
@@ -145,7 +145,7 @@ class AntMazeEnv:
         bad = (~(jnp.isfinite(qpos).all(axis=-1)
                  & jnp.isfinite(qvel).all(axis=-1))
                | (jnp.abs(qpos[:, :2]) > 60.0).any(axis=-1)
-               | (qpos[:, 2] < -0.5) | (qpos[:, 2] > 5.0))
+               | (qpos[:, 2] < -0.5) | (qpos[:, 2] > 50.0))
         done = reached | truncated | bad
         obs = jnp.nan_to_num(
             jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1),
