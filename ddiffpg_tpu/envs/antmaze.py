@@ -96,13 +96,17 @@ class AntMazeEnv:
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         terminated = reached
-        # safety net: numerically-broken or escaped envs terminate and
+        # safety net: numerically-broken, escaped or wall-vaulting envs
+        # terminate and reset. The ceiling sits at the wall top (2 m,
+        # maze_height 0.5 x scaling 4): hopping out of the maze would
+        # change the MDP, and the plain MuJoCo ant considers z > 1 dead
+        # anyway (ant.py:84-86). Numerically-broken or escaped envs
         # reset (a tunneling event at clamp speed can otherwise leave the
         # world and eventually overflow; MuJoCo's plain ant uses an
         # aliveness envelope similarly, ant.py:84-86)
         bad = (~(jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all())
                | (jnp.abs(qpos[:2]) > 60.0).any()
-               | (qpos[2] < -0.5) | (qpos[2] > 50.0))
+               | (qpos[2] < -0.5) | (qpos[2] > 2.0))
         done = terminated | truncated | bad
 
         obs = jnp.nan_to_num(self._obs(qpos, qvel), nan=0.0,
@@ -145,7 +149,7 @@ class AntMazeEnv:
         bad = (~(jnp.isfinite(qpos).all(axis=-1)
                  & jnp.isfinite(qvel).all(axis=-1))
                | (jnp.abs(qpos[:, :2]) > 60.0).any(axis=-1)
-               | (qpos[:, 2] < -0.5) | (qpos[:, 2] > 50.0))
+               | (qpos[:, 2] < -0.5) | (qpos[:, 2] > 2.0))
         done = reached | truncated | bad
         obs = jnp.nan_to_num(
             jnp.concatenate([qpos[:, :15], qvel[:, :14]], axis=-1),
