@@ -21,10 +21,13 @@ def save(path, state, host_meta: dict | None = None):
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     np_leaves = [np.asarray(x) for x in leaves]
-    with open(path, "wb") as f:
+    # atomic write: a killed process must not leave a truncated checkpoint
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
         pickle.dump({"leaves": np_leaves, "treedef_str": str(treedef),
                      "host_meta": host_meta or {}}, f,
                     protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)
 
 
 def save_model(path, actor_params, critic_params_list, rms=None,
