@@ -48,6 +48,28 @@ def test_dp_full_train_step():
         np.testing.assert_allclose(s, shards[0], atol=1e-6)
 
 
+def test_dp_deterministic_across_runs():
+    """SURVEY §4 distributed item: the sharded program is deterministic —
+    two runs from the same seed produce identical params (explicit PRNG
+    key threading + per-device folding, no wall-clock or host state)."""
+    mesh = make_mesh(8)
+
+    def run():
+        agent = DPAgentDDiffPG(_cfg(8), mesh)
+        ts = agent.init(jax.random.PRNGKey(3))
+        ts = agent.warmup(ts)
+        ts, _ = agent.train_iter(ts)
+        jax.block_until_ready(ts)
+        return ts
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a.actor_params),
+                    jax.tree.leaves(b.actor_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(a.critics), jax.tree.leaves(b.critics)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_specs_cover_state():
     mesh = make_mesh(8)
     agent = DPAgentDDiffPG(_cfg(8), mesh)
