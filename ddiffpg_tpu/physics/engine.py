@@ -345,6 +345,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_n = (v_pt * normal).sum(-1)
         f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
         f_n = jnp.where(pen > 0, f_n, 0.0)
+        # separation gate: strictly dissipative impacts (types.py)
+        f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
         v_t = v_pt - v_n[:, None] * normal
         vt_norm = jnp.sqrt((v_t**2).sum(-1) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -365,6 +367,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_n = (v_pt[:, None, :] * n_b).sum(-1)
         f_n = jnp.maximum(k_n[:, None] * pen - c_n[:, None] * v_n, 0.0)
         f_n = jnp.where(pen > 0, f_n, 0.0)
+        # separation gate: strictly dissipative impacts (types.py)
+        f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
         v_t = v_pt[:, None, :] - v_n[..., None] * n_b
         vt_norm = jnp.sqrt((v_t**2).sum(-1) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -394,6 +398,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             v_n = (v_rel * n_w).sum(-1)
             f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
             f_n = jnp.where(pen > 0, f_n, 0.0)
+            # separation gate: strictly dissipative impacts (types.py)
+            f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
             v_t = v_rel - v_n[:, None] * n_w
             vt_norm = jnp.sqrt((v_t**2).sum(-1)
                                + m.friction_vel_tol**2 * 1e-4)
@@ -527,8 +533,14 @@ def _substep(m: Model, qpos, qvel, ctrl):
     udot = chol_solve_small(M, tau)
 
     u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
-    # semi-implicit: integrate positions with the new velocities
-    qvel_new = u_to_qvel(m, u_new, body_pos)
+    # semi-implicit: integrate positions with the new velocities.
+    # The u-space clamp alone does NOT bound free-joint translation: in the
+    # world-origin parameterization vp = u_lin + w x pos grows with the
+    # body's distance from the origin (a torso spinning at the angular
+    # clamp 6 m out moves at >100 m/s and teleports through walls), so the
+    # physical velocity is clamped as well.
+    qvel_new = jnp.clip(u_to_qvel(m, u_new, body_pos),
+                        -m.max_qvel, m.max_qvel)
     qpos_new = qpos
     one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]
     if len(one_dof):

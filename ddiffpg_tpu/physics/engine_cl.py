@@ -390,6 +390,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     v_n = (v_pt * n_p).sum(-2)
     f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
     f_n = jnp.where(pen > 0, f_n, 0.0)
+    # separation gate: strictly dissipative impacts (types.py)
+    f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
     v_t = v_pt - v_n[:, None, :] * n_p
     vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
     scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -431,6 +433,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_n = (v_pt * n_s).sum(-2)
         f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
         f_n = jnp.where(pen > 0, f_n, 0.0)
+        # separation gate: strictly dissipative impacts (types.py)
+        f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
         v_t = v_pt - v_n[:, None, :] * n_s
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -445,6 +449,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_n = (v_pt[:, None] * n_b).sum(-2)
         f_n = jnp.maximum(k_n[:, None] * pen - c_n[:, None] * v_n, 0.0)
         f_n = jnp.where(pen > 0, f_n, 0.0)
+        # separation gate: strictly dissipative impacts (types.py)
+        f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
         v_t = v_pt[:, None] - v_n[:, :, None, :] * n_b
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -471,6 +477,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         v_n = (v_rel * n_w).sum(-2)
         f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
         f_n = jnp.where(pen > 0, f_n, 0.0)
+        # separation gate: strictly dissipative impacts (types.py)
+        f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
         v_t = v_rel - v_n[:, None, :] * n_w
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -527,7 +535,10 @@ def _substep(m: Model, qpos, qvel, ctrl):
     udot = _chol_solve_envs_last(M, tau)
 
     u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
-    qvel_new = u_to_qvel(m, u_new, body_pos)
+    # physical-velocity clamp: vp = u_lin + w x pos is unbounded in u-space
+    # far from the origin (see engine.py substep note)
+    qvel_new = jnp.clip(u_to_qvel(m, u_new, body_pos),
+                        -m.max_qvel, m.max_qvel)
     qpos_new = qpos
     one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]
     if len(one_dof):

@@ -185,6 +185,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
     gravity = tuple(float(g) for g in m.gravity)
     omega_c = 1.0 / float(m.contact_timeconst)
     zeta = float(m.contact_dampratio)
+    inv_vreb = 1.0 / float(m.contact_maxrebound)
     vtol = float(m.friction_vel_tol)
     lim_k = float(m.limit_stiffness)
     lim_c = float(m.limit_damping)
@@ -358,6 +359,8 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             v_n = vx * nx + vy * ny + vz * nz
             f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
             f_n = jnp.where(pen > 0, f_n, 0.0)
+            # separation gate: strictly dissipative impacts (types.py)
+            f_n = f_n * jnp.clip(1.0 - v_n * inv_vreb, 0.0, 1.0)
             tx = vx - v_n * nx
             ty = vy - v_n * ny
             tz = vz - v_n * nz
@@ -453,6 +456,8 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             v_n = rvx * nx + rvy * ny + rvz * nz
             f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
             f_n = jnp.where(pen > 0, f_n, 0.0)
+            # separation gate: strictly dissipative impacts (types.py)
+            f_n = f_n * jnp.clip(1.0 - v_n * inv_vreb, 0.0, 1.0)
             tx = rvx - v_n * nx
             ty = rvy - v_n * ny
             tz = rvz - v_n * nz
@@ -621,6 +626,10 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             w_new = (u_new[d + 3], u_new[d + 4], u_new[d + 5])
             vp_new = vadd((u_new[d], u_new[d + 1], u_new[d + 2]),
                           vcross(w_new, pos[i]))
+            # physical-velocity clamp: vp = u_lin + w x pos is unbounded
+            # in u-space far from the origin (see engine.py substep note)
+            vp_new = tuple(jnp.clip(vp_new[k], -vmax, vmax)
+                           for k in range(3))
             qd_new[d], qd_new[d + 1], qd_new[d + 2] = vp_new
             q_new[qa] = q[qa] + dt * vp_new[0]
             q_new[qa + 1] = q[qa + 1] + dt * vp_new[1]

@@ -100,6 +100,15 @@ class Model:
     # semi-implicit integrator stays stable for every geom.
     contact_timeconst: float = 0.02
     contact_dampratio: float = 1.0
+    # Hunt-Crossley-style separation gate: the normal force is scaled by
+    # clip(1 - v_n / maxrebound, 0, 1), so a separating contact (v_n > 0)
+    # can never be pushed out faster than ~maxrebound. Rest (v_n = 0) and
+    # approach (v_n < 0) are unchanged. This makes impacts strictly
+    # dissipative under the discrete integrator: the bare damped spring
+    # returns real energy on deep fast impacts, and policies learn to pump
+    # it into metres-high ballistic hops (MuJoCo's constraint solver is
+    # inelastic, so the reference ant cannot do this).
+    contact_maxrebound: float = 0.5
     friction_vel_tol: float = 0.1   # viscous->Coulomb transition velocity
     limit_stiffness: float = 300.0
     limit_damping: float = 5.0

@@ -74,7 +74,8 @@ def main(argv):
             st, obs2, rew, done, info = eval_env.step(st, act)
             # obs2 is the PRE-reset observation: z/xy of the terminal state
             out = dict(done=done, succ=info["success"] > 0,
-                       tout=info["time_outs"], z=obs2[:, 2], xy=obs2[:, :2])
+                       tout=info["time_outs"], z=obs2[:, 2], xy=obs2[:, :2],
+                       vz=obs2[:, 17], hinge=jnp.abs(obs2[:, 21:29]).max(-1))
             return (st, obs2), out
         keys = jax.random.split(key, T)
         _, tr = jax.lax.scan(body, (st, obs), keys)
@@ -107,6 +108,19 @@ def main(argv):
                         axis=-1).min(-1)
     print(f"goal distance: p5={np.percentile(gd, 5):.2f} "
           f"min={gd.min():.2f} (hit at <=0.5)")
+    vz, hs = tr["vz"], tr["hinge"]
+    print(f"vz: p99={np.percentile(np.abs(vz), 99):.2f} "
+          f"max={np.abs(vz).max():.2f}   hinge: p99="
+          f"{np.percentile(hs, 99):.2f} max={hs.max():.2f} "
+          f"@clamp={(hs > 19.5).mean():.4f}")
+    # the launch event: steps leading to the highest torso z
+    t_pk, e_pk = np.unravel_index(np.argmax(tr["z"]), tr["z"].shape)
+    lo = max(t_pk - 12, 0)
+    print(f"launch trace (env {e_pk}, steps {lo}..{t_pk}):")
+    for t in range(lo, t_pk + 1):
+        print(f"  t={t:4d} z={tr['z'][t, e_pk]:7.3f} "
+              f"vz={vz[t, e_pk]:7.2f} hinge={hs[t, e_pk]:6.2f} "
+              f"xy=({tr['xy'][t, e_pk, 0]:6.2f},{tr['xy'][t, e_pk, 1]:6.2f})")
 
 
 if __name__ == "__main__":
