@@ -197,3 +197,34 @@ class TestMaze:
     def test_goals(self):
         assert maze.GOALS["antmaze-v2"][0] == ((-8.0, 8.0), 20.0)
         assert maze.EPISODE_LEN["antmaze-v3"] == 700
+
+
+class TestVelocityClamps:
+    def test_far_spin_translation_bounded(self):
+        """Regression: a free body spinning at the angular clamp far from
+        the origin must not translate at w*|pos| (the u-space clamp alone
+        allowed vp = u_lin + w x pos to reach 100+ m/s and teleport
+        through walls)."""
+        m = _free_sphere(z0=0.5, dt=0.01, n_substeps=10)
+        qpos = jnp.asarray(m.init_qpos).at[:2].set(jnp.array([10.0, -8.0]))
+        qvel = jnp.zeros(6).at[3:6].set(m.max_qvel)   # spin at the clamp
+        qp, qv = jax.jit(
+            lambda a, b: engine.step(m, a, b, jnp.zeros(0)))(qpos, qvel)
+        assert float(jnp.abs(qv).max()) <= m.max_qvel + 1e-4
+        # one control step moves it at most max_qvel * dt * n_substeps
+        assert float(jnp.abs(qp[:3] - qpos[:3]).max()) <= \
+            m.max_qvel * m.dt * m.n_substeps + 1e-4
+
+    def test_impact_dissipative(self):
+        """Separation gate: a sphere dropped hard rebounds no faster than
+        ~contact_maxrebound (the bare damped spring returned real energy
+        on deep fast impacts)."""
+        m = _free_sphere(z0=0.2, dt=0.002, n_substeps=5)
+        qpos = jnp.asarray(m.init_qpos)
+        qvel = jnp.zeros(6).at[2].set(-8.0)           # slam down at 8 m/s
+        step = jax.jit(lambda a, b: engine.step(m, a, b, jnp.zeros(0)))
+        max_up = 0.0
+        for _ in range(100):                          # 1 s
+            qpos, qvel = step(qpos, qvel)
+            max_up = max(max_up, float(qvel[2]))
+        assert max_up <= m.contact_maxrebound + 0.05
