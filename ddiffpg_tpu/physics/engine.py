@@ -347,6 +347,12 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_n = jnp.where(pen > 0, f_n, 0.0)
         # separation gate: strictly dissipative impacts (types.py)
         f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+        # impulse cap: the gate only sees the pre-substep velocity, so a
+        # stiff spring at deep fast penetration can reverse v_n far past
+        # maxrebound within ONE substep (a catapult). Bound the substep
+        # impulse so the post-substep normal velocity stays <= maxrebound.
+        f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff * (m.contact_maxrebound - v_n) / m.dt, 0.0))
         v_t = v_pt - v_n[:, None] * normal
         vt_norm = jnp.sqrt((v_t**2).sum(-1) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -369,6 +375,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_n = jnp.where(pen > 0, f_n, 0.0)
         # separation gate: strictly dissipative impacts (types.py)
         f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+        # impulse cap (see force_from)
+        f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff[:, None] * (m.contact_maxrebound - v_n) / m.dt, 0.0))
         v_t = v_pt[:, None, :] - v_n[..., None] * n_b
         vt_norm = jnp.sqrt((v_t**2).sum(-1) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -400,6 +409,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             f_n = jnp.where(pen > 0, f_n, 0.0)
             # separation gate: strictly dissipative impacts (types.py)
             f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+            # impulse cap (see force_from)
+            f_n = jnp.minimum(
+                f_n, m_eff * (m.contact_maxrebound - v_n) / m.dt)
             v_t = v_rel - v_n[:, None] * n_w
             vt_norm = jnp.sqrt((v_t**2).sum(-1)
                                + m.friction_vel_tol**2 * 1e-4)

@@ -392,6 +392,11 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     f_n = jnp.where(pen > 0, f_n, 0.0)
     # separation gate: strictly dissipative impacts (types.py)
     f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+    # impulse cap: the gate only sees the pre-substep velocity; bound the
+    # substep impulse so post-substep rebound stays <= maxrebound (no
+    # single-substep catapult at deep fast penetration)
+    f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff * (m.contact_maxrebound - v_n) / m.dt, 0.0))
     v_t = v_pt - v_n[:, None, :] * n_p
     vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
     scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -435,6 +440,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_n = jnp.where(pen > 0, f_n, 0.0)
         # separation gate: strictly dissipative impacts (types.py)
         f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+        # impulse cap (see plane contact above)
+        f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff * (m.contact_maxrebound - v_n) / m.dt, 0.0))
         v_t = v_pt - v_n[:, None, :] * n_s
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -451,6 +459,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_n = jnp.where(pen > 0, f_n, 0.0)
         # separation gate: strictly dissipative impacts (types.py)
         f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+        # impulse cap (see plane contact above)
+        f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff[:, None] * (m.contact_maxrebound - v_n) / m.dt, 0.0))
         v_t = v_pt[:, None] - v_n[:, :, None, :] * n_b
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
@@ -479,6 +490,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_n = jnp.where(pen > 0, f_n, 0.0)
         # separation gate: strictly dissipative impacts (types.py)
         f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
+        # impulse cap (see plane contact above)
+        f_n = jnp.minimum(f_n, jnp.maximum(
+            m_eff * (m.contact_maxrebound - v_n) / m.dt, 0.0))
         v_t = v_rel - v_n[:, None, :] * n_w
         vt_norm = jnp.sqrt((v_t**2).sum(-2) + m.friction_vel_tol**2 * 1e-4)
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)

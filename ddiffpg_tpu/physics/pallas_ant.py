@@ -353,6 +353,11 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         vy = jnp.concatenate(vy_l)
         vz = jnp.concatenate(vz_l)
         rad, fric, k_n, c_n = probe_consts
+        # impulse cap scale: m_eff/dt = k_n/(omega^2 dt) — the gate only
+        # sees the pre-substep velocity; bound the substep impulse so the
+        # post-substep rebound stays <= maxrebound (no catapults)
+        cap_k = k_n * (1.0 / (omega_c * omega_c * dt))
+        vreb = 1.0 / inv_vreb
 
         def contact_force(dist, nx, ny, nz):
             pen = jnp.maximum(-dist, 0.0)
@@ -361,6 +366,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             f_n = jnp.where(pen > 0, f_n, 0.0)
             # separation gate: strictly dissipative impacts (types.py)
             f_n = f_n * jnp.clip(1.0 - v_n * inv_vreb, 0.0, 1.0)
+            f_n = jnp.minimum(f_n, jnp.maximum(cap_k * (vreb - v_n), 0.0))  # impulse cap
             tx = vx - v_n * nx
             ty = vy - v_n * ny
             tz = vz - v_n * nz
@@ -458,6 +464,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             f_n = jnp.where(pen > 0, f_n, 0.0)
             # separation gate: strictly dissipative impacts (types.py)
             f_n = f_n * jnp.clip(1.0 - v_n * inv_vreb, 0.0, 1.0)
+            f_n = jnp.minimum(f_n, jnp.maximum(cap_k * (vreb - v_n), 0.0))  # impulse cap
             tx = rvx - v_n * nx
             ty = rvy - v_n * ny
             tz = rvz - v_n * nz

@@ -228,3 +228,24 @@ class TestVelocityClamps:
             qpos, qvel = step(qpos, qvel)
             max_up = max(max_up, float(qvel[2]))
         assert max_up <= m.contact_maxrebound + 0.05
+
+    def test_deep_fast_impact_no_catapult(self):
+        """Impulse cap: at the ant's substep dt (0.01) a deep, fast
+        penetration must not reverse into a super-rebound within one
+        substep. The separation gate alone only sees the pre-substep
+        velocity — without the cap, the stiff spring flipped v_n from
+        -20 to +20 m/s in a single substep (observed in eval rollouts:
+        torso z -0.19 -> +3.8 m, 82% of episodes killed by the z guard)."""
+        m = _free_sphere(z0=0.5, dt=0.01, n_substeps=10)
+        # already deeply penetrated (r=0.1, center almost at the floor)
+        # and slamming down at the physical velocity clamp
+        qpos = jnp.asarray(m.init_qpos).at[2].set(0.02)
+        qvel = jnp.zeros(6).at[2].set(-20.0)
+        step = jax.jit(lambda a, b: engine.step(m, a, b, jnp.zeros(0)))
+        max_up = 0.0
+        for _ in range(100):                          # 1 s
+            qpos, qvel = step(qpos, qvel)
+            max_up = max(max_up, float(qvel[2]))
+        assert max_up <= m.contact_maxrebound + 0.05
+        # and it must come to rest ON the floor, not below it
+        assert 0.05 <= float(qpos[2]) <= 0.12
