@@ -48,6 +48,25 @@ def maybe_pmean(tree):
     return tree
 
 
+def maybe_psum(v):
+    if _PMEAN_AXIS is not None:
+        return jax.lax.psum(v, _PMEAN_AXIS)
+    return v
+
+
+def update_rms(rms, x):
+    """Fold a batch into a RunningMeanStd; under DP the batch moments are
+    reduced across shards first so the replicated rms stays bit-identical
+    on every device. Single-chip this equals rs.update exactly."""
+    from ddiffpg_tpu.ops import running_stats as rs
+
+    m1 = maybe_pmean(x.mean(axis=0))
+    m2 = maybe_pmean((x * x).mean(axis=0))
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    count = maybe_psum(x.shape[0])
+    return rs.update_from_stats(rms, m1, var, count)
+
+
 def make_optimizer(lr: float, max_grad_norm: Optional[float], weight_decay=True):
     opt = optax.adamw(lr) if weight_decay else optax.adam(lr, eps=1e-5)
     if max_grad_norm is not None:

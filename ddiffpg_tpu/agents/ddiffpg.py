@@ -34,6 +34,7 @@ from ddiffpg_tpu.models.diffusion import DiffusionPolicy
 from ddiffpg_tpu.models.mlp import DistributionalDoubleQ
 from ddiffpg_tpu.modes.cluster import ClusterManager
 from ddiffpg_tpu.ops import noise as noise_ops
+from ddiffpg_tpu.ops import running_stats as rs
 from ddiffpg_tpu.ops.embedding import add_embedding, append_embedding
 from ddiffpg_tpu.replay import episodic as ep
 from ddiffpg_tpu.utils import density
@@ -54,6 +55,7 @@ class DDiffPGState(NamedTuple):
     key: jax.Array
     global_step: jnp.ndarray
     density_grid: jnp.ndarray
+    obs_rms: Any = None          # RunningMeanStd when cfg.algo.obs_norm
 
 
 def _pos_dim(env_name: str) -> int:
@@ -156,9 +158,23 @@ class AgentDDiffPG:
             stats=base.EpisodeStats.create(self.env.num_envs, a.tracker_len),
             key=key, global_step=jnp.asarray(0, jnp.int32),
             density_grid=self._density_grid0,
+            obs_rms=(rs.RunningMeanStd.create((self.obs_dim,))
+                     if a.obs_norm else None),
         )
 
     # ----------------------------------------------------------- exploration
+
+    def _norm_obs(self, ts, obs):
+        """obs normalization for the ACTING path only. The reference
+        normalizes inside get_actions (ddiffpg.py:83-84) and updates the rms
+        during explore (ddiffpg.py:157) but its update_net trains critics on
+        raw obs — we match that. (The reference's own obs_norm branch would
+        crash for DDiffPG: it normalizes the embedded obs against an
+        obs_dim-shaped rms; here the raw obs is normalized BEFORE the
+        embedding is appended.)"""
+        if self.cfg.algo.obs_norm and ts.obs_rms is not None:
+            return rs.normalize(ts.obs_rms, obs)
+        return obs
 
     def _embed_for_explore(self, key, obs, ts, p):
         a = self.cfg.algo
@@ -167,10 +183,13 @@ class AgentDDiffPG:
             num_modes = max(self.num_groups - 1, 0)
         else:
             modes, num_modes = None, 0
-        return add_embedding(key, obs, ts.embeddings[0], p, modes, num_modes)
+        return add_embedding(key, self._norm_obs(ts, obs), ts.embeddings[0],
+                             p, modes, num_modes)
 
     def _env_step(self, ts: DDiffPGState, p, random: bool):
         key, k_emb, k_act, k_noise, k_rand = jax.random.split(ts.key, 5)
+        if self.cfg.algo.obs_norm and ts.obs_rms is not None:
+            ts = ts._replace(obs_rms=base.update_rms(ts.obs_rms, ts.obs))
         if random:
             action = jax.random.uniform(
                 k_rand, (self.env.num_envs, self.action_dim),
@@ -223,7 +242,16 @@ class AgentDDiffPG:
 
     # --------------------------------------------------------------- updates
 
-    def _group_sizes(self, G: int):
+    def _ref_group_sizes(self, G: int):
+        """The REFERENCE's per-group batch split (diffusion_replay.py:259-264):
+        batch_size // G per group with the division remainder going to the
+        explore group. Used only to reproduce the reference's explore-ratio
+        schedule in get_exp_p. The update itself (_update_once) uses a uniform
+        batch_size // G for every group so the per-group critic update and
+        action gradient stay a single vmap over a [G, b, ...] stack — at most
+        G-1 (< max_modes) of the 4096 samples differ from the reference split,
+        and keeping the stack uniform avoids a second XLA program instance for
+        the explore row (big-program recompiles cost minutes on this target)."""
         B = self.cfg.algo.batch_size
         sizes = [B // G] * G
         sizes[0] += B % G
@@ -277,10 +305,12 @@ class AgentDDiffPG:
             rows = jnp.where((mask & ~is_exp)[:, None], 0.0, rows)
             return jnp.concatenate([obs_i, rows], axis=-1)
 
-        drop_keys = jax.random.split(k_emb2, G)
-        emb_state = jax.vmap(embed_group)(drop_keys, gb.obs, emb_g,
+        # two independent random subsets for state / next-state, matching
+        # the reference's two separate add_embedding draws (ddiffpg.py:252-253)
+        drop_keys = jax.random.split(k_emb2, 2 * G)
+        emb_state = jax.vmap(embed_group)(drop_keys[:G], gb.obs, emb_g,
                                           explore_flag)
-        emb_next = jax.vmap(embed_group)(drop_keys, gb.next_obs, emb_g,
+        emb_next = jax.vmap(embed_group)(drop_keys[G:], gb.next_obs, emb_g,
                                          explore_flag)
 
         # --- target-policy actions on all groups in one actor call ----------
@@ -407,7 +437,7 @@ class AgentDDiffPG:
         """Reference get_exp_p (ddiffpg.py:112-137)."""
         a = self.cfg.algo
         G = self.num_groups
-        explore_n = self._group_sizes(G)[0]
+        explore_n = self._ref_group_sizes(G)[0]
         if a.exp.type == "fixed":
             p = min(a.exp.fix_ratio, 1 - explore_n / a.batch_size)
         elif a.exp.type == "prop":
@@ -444,6 +474,9 @@ class AgentDDiffPG:
         self.num_groups = res.num_groups
         self.num_clusters = res.num_groups - 1
         self.last_plot = (res.plot_success, res.plot_clusters, res.Z)
+        self.last_unsuccess_plot = (
+            (res.plot_unsuccess, res.plot_unsuccess_clusters)
+            if res.plot_unsuccess else None)
 
         replay = ts.replay
         # evict slots
@@ -490,3 +523,8 @@ class AgentDDiffPG:
         emb_obs = append_embedding(obs, jnp.zeros(self.embed_dim))
         return self.actor.apply(params, key, emb_obs,
                                 method=DiffusionPolicy.act)
+
+    def eval_policy(self, ts):
+        """(key, obs) -> action closure; normalizes obs when obs_norm."""
+        return lambda key, obs: self.eval_actor(
+            ts.actor_params, key, self._norm_obs(ts, obs))

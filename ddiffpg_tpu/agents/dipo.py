@@ -48,18 +48,24 @@ class AgentDIPO(AgentTD3):
 
         ts, c_loss, c_gnorm, r_int = self._critic_update(ts, k_cri, batch)
 
+        # the reference normalizes obs/next_obs once after the intrinsic
+        # reward (dipo.py:144-146); everything downstream — RND update,
+        # action gradient, actor distillation — sees normalized obs
+        # (identity when obs_norm is off)
+        n_obs = self._norm_obs(ts, obs)
+        n_next = self._norm_obs(ts, next_obs)
         if self.cfg.intrinsic.type == "noveld":
             intr, d_loss, d_gnorm = self.intrinsic.update(
-                ts.intrinsic, jnp.concatenate([obs, next_obs]))
+                ts.intrinsic, jnp.concatenate([n_obs, n_next]))
         else:
-            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, obs)
+            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, n_obs)
         ts = ts._replace(intrinsic=intr)
 
         # action gradient on the stored target actions (dipo.py:246-261)
         q_min = lambda o, a: self.critic.apply(
             ts.critic_params, o, a, method=DistributionalDoubleQ.q_min)
         new_action = base.action_gradient(
-            q_min, obs, target_action,
+            q_min, n_obs, target_action,
             n_steps=self._diffusion_cfg.update_times,
             lr=self._diffusion_cfg.action_lr,
             max_grad_norm=self.cfg.algo.max_grad_norm)
@@ -68,7 +74,7 @@ class AgentDIPO(AgentTD3):
 
         # distill into the diffusion actor (epsilon-MSE)
         def loss_fn(params):
-            return self._actor_loss(params, k_loss, obs, new_action)
+            return self._actor_loss(params, k_loss, n_obs, new_action)
 
         a_loss, grads = jax.value_and_grad(loss_fn)(ts.actor_params)
         params, opt, a_gnorm = base.apply_update(

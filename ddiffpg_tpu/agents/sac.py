@@ -50,7 +50,7 @@ class AgentSAC(AgentTD3):
 
     def _policy_action(self, ts, key, obs):
         # SAC explores with its own stochasticity (sac.py:57-61)
-        return self._actor_act(ts.actor_params, key, obs)
+        return self._actor_act(ts.actor_params, key, self._norm_obs(ts, obs))
 
     # full state plumbing: SACState wraps the TD3State core
     def _env_step(self, ts: SACState, random: bool):
@@ -71,6 +71,9 @@ class AgentSAC(AgentTD3):
             core.intrinsic, obs, next_obs)
         reward = reward + r_int
         core = core._replace(intrinsic=intrinsic)
+        # reference normalizes after the intrinsic reward (sac.py:115-117)
+        obs = self._norm_obs(core, obs)
+        next_obs = self._norm_obs(core, next_obs)
 
         alpha = self._alpha(ts)
         gamma_n = self.cfg.algo.gamma ** self.cfg.algo.nstep

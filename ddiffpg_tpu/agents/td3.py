@@ -127,7 +127,7 @@ class AgentTD3:
     def _env_step(self, ts: TD3State, random: bool):
         key, k_act, k_rand = jax.random.split(ts.key, 3)
         if self.cfg.algo.obs_norm and ts.obs_rms is not None:
-            ts = ts._replace(obs_rms=rs.update(ts.obs_rms, ts.obs))
+            ts = ts._replace(obs_rms=base.update_rms(ts.obs_rms, ts.obs))
         if random:
             action = jax.random.uniform(
                 k_rand, (self.env.num_envs, self.action_dim),
@@ -215,11 +215,15 @@ class AgentTD3:
         ts, c_loss, c_gnorm, r_int = self._critic_update(ts, k_cri, batch)
 
         obs, _, _, _, next_obs, _ = batch
+        # the reference trains the RND nets on normalized obs when obs_norm
+        # is on (the normalize happens before intrinsic.update, td3/sac.py)
+        n_obs = self._norm_obs(ts, obs)
+        n_next = self._norm_obs(ts, next_obs)
         if self.cfg.intrinsic.type == "noveld":
             intr, d_loss, d_gnorm = self.intrinsic.update(
-                ts.intrinsic, jnp.concatenate([obs, next_obs]))
+                ts.intrinsic, jnp.concatenate([n_obs, n_next]))
         else:
-            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, obs)
+            intr, d_loss, d_gnorm = self.intrinsic.update(ts.intrinsic, n_obs)
         ts = ts._replace(intrinsic=intr)
 
         ts, a_loss, a_gnorm, mean_a = self._actor_update(ts, k_act, obs)
@@ -268,3 +272,11 @@ class AgentTD3:
     def eval_actor(self, params, key, obs):
         """Deterministic-policy eval action (no exploration noise)."""
         return self._actor_act(params, key, obs)
+
+    def eval_policy(self, ts):
+        """(key, obs) -> action closure over the full train state; applies
+        obs normalization when enabled (reference eval path normalizes:
+        scripts/ddiffpg_main.py:84-86)."""
+        core = getattr(ts, "core", ts)
+        return lambda key, obs: self.eval_actor(
+            core.actor_params, key, self._norm_obs(core, obs))

@@ -122,6 +122,9 @@ class Config:
     log_freq: int = 2
     eval_freq: int = 100
     max_step: int = 4_000_000
+    # wall-clock budget in seconds, 0 = unlimited (cfg/default.yaml:16 declares
+    # max_time but the reference scripts never consume it; here it is enforced)
+    max_time: float = 0.0
     algo: AlgoConfig = field(default_factory=AlgoConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     intrinsic: IntrinsicConfig = field(default_factory=IntrinsicConfig)

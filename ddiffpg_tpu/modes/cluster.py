@@ -40,6 +40,8 @@ class ClusterResult:
     Z: Optional[np.ndarray]         # linkage matrix for dendrograms
     plot_success: list              # xy arrays of success trajs
     plot_clusters: list             # per-cluster indices into plot_success
+    plot_unsuccess: list            # xy arrays of unsuccessful trajs
+    plot_unsuccess_clusters: list   # per-cluster indices into plot_unsuccess
 
 
 class ClusterManager:
@@ -240,9 +242,20 @@ class ClusterManager:
                 for s in unsuccess_slots[i]:
                     group_mask[i + 1, s] = True
 
+        # xy tracks + per-cluster index lists for the unsuccess-cluster plot
+        # (reference: diffusion_replay.py keeps `unsuccess_plot`, rendered at
+        # eval_freq*5 in ddiffpg_main.py:119-124)
+        fail_list = [int(s) for s in fail_slots]
+        fail_pos = {s: k for k, s in enumerate(fail_list)}
+        plot_unsuccess = [tr[s] for s in fail_list]
+        plot_unsuccess_clusters = [
+            [fail_pos[s] for s in cl] for cl in unsuccess_slots]
+
         return ClusterResult(
             num_groups=plan.num_groups, group_mask=group_mask,
             evict_slots=np.asarray(sorted(evict), np.int64), plan=plan,
             clusters=clusters_ids,
             unsuccess_clusters=[[sid[s] for s in cl] for cl in unsuccess_slots],
-            Z=Z, plot_success=plot_success, plot_clusters=plot_clusters)
+            Z=Z, plot_success=plot_success, plot_clusters=plot_clusters,
+            plot_unsuccess=plot_unsuccess,
+            plot_unsuccess_clusters=plot_unsuccess_clusters)

@@ -27,10 +27,14 @@ class RunningMeanStd(NamedTuple):
 
 
 def update(rms: RunningMeanStd, x: jnp.ndarray) -> RunningMeanStd:
-    batch_mean = x.mean(axis=0)
-    batch_var = x.var(axis=0)
-    batch_count = x.shape[0]
+    return update_from_stats(rms, x.mean(axis=0), x.var(axis=0), x.shape[0])
 
+
+def update_from_stats(rms: RunningMeanStd, batch_mean, batch_var,
+                      batch_count) -> RunningMeanStd:
+    """Fold pre-computed batch statistics into the running estimate (lets DP
+    callers pmean the batch stats across shards first so every shard folds
+    identical values and the replicated rms stays replicated)."""
     delta = batch_mean - rms.mean
     tot = rms.count + batch_count
     new_mean = rms.mean + delta * batch_count / tot

@@ -147,3 +147,6 @@ class DPAgentDDiffPG:
 
     def eval_actor(self, params, key, obs):
         return self.agent.eval_actor(params, key, obs)
+
+    def eval_policy(self, ts):
+        return self.agent.eval_policy(ts)

@@ -55,6 +55,35 @@ def test_baseline_agents_smoke(algo):
     assert np.isfinite(float(metrics["eval/return"]))
 
 
+@pytest.mark.parametrize("algo", ["td3", "sac", "dipo", "ddiffpg"])
+def test_agents_obs_norm(algo):
+    """obs_norm=True trains finitely for every agent and the eval policy
+    normalizes through eval_policy (reference ac_base.py:55-58 wires an
+    obs RMS for all agents; round-1 had it only in TD3)."""
+    cfg = small_cfg(algo, **{"algo.obs_norm": True})
+    env = make(cfg.env.name, num_envs=cfg.num_envs)
+    agent = make_agent(cfg.algo.name, env, cfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    ts = agent.warmup(ts)
+    if algo == "ddiffpg":
+        ts = agent.update_cluster(ts)
+    for _ in range(2):
+        ts, logs = agent.train_iter(ts)
+    assert np.isfinite(float(logs["train/critic_loss"]))
+    assert np.isfinite(float(logs["train/actor_loss"]))
+
+    core = ts.core if hasattr(ts, "core") else ts
+    assert core.obs_rms is not None
+    # the rms saw real data: count grew and mean moved off zero
+    assert float(core.obs_rms.count) > 1.0
+    assert float(jnp.abs(core.obs_rms.mean).max()) > 0.0
+
+    eval_env = make(cfg.env.name, num_envs=4)
+    metrics, _ = eval_rollout(eval_env, agent.eval_policy(ts),
+                              jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["eval/return"]))
+
+
 def test_ddiffpg_full_cycle():
     cfg = small_cfg("ddiffpg")
     env = make(cfg.env.name, num_envs=cfg.num_envs)
@@ -76,10 +105,8 @@ def test_ddiffpg_full_cycle():
     assert np.isfinite(float(logs["train/actor_loss"]))
     assert np.isfinite(float(logs["train/mean_intrinsic"]))
 
-    # force episodes to finish, then recluster again (exercises scheduler)
-    for _ in range(110):
-        ts = agent._iter_cache[G1](ts, 0.5)[0] if False else ts
-    # run enough env steps for several episodes to finish
+    # run enough env steps for several episodes to finish, then recluster
+    # again (exercises the scheduler)
     for _ in range(15):
         ts, _ = agent.train_iter(ts)
     ts = agent.update_cluster(ts)

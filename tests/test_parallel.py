@@ -70,6 +70,59 @@ def test_dp_deterministic_across_runs():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _assert_replicated(tree, atol=1e-6):
+    for leaf in jax.tree.leaves(tree):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_allclose(s, shards[0], atol=atol)
+
+
+def test_dp_recluster_eval_trajectory():
+    """A short DP *training trajectory* with several reclusters: exercises
+    parallel/dp.py update_cluster (pulls the GLOBAL replay to the host,
+    pushes group masks / scheduler plans / evictions back into the sharded
+    tables), training at the new group count, and eval under DP.
+
+    Invariance contract (pinned here on purpose): a 1-device and an
+    N-device run are NOT bitwise identical BY DESIGN — every shard folds
+    its device index into the PRNG key (dp.py:97-98) and samples batches
+    from its local replay shard. What IS invariant:
+      * params / optimizer states / embeddings stay replicated across
+        shards after every update AND after every recluster;
+      * the same mesh size + seed reproduce identical results
+        (test_dp_deterministic_across_runs).
+    """
+    from ddiffpg_tpu.agents.evaluation import eval_rollout
+    from ddiffpg_tpu.envs import make as make_env
+
+    mesh = make_mesh(8)
+    agent = DPAgentDDiffPG(_cfg(8), mesh,
+                           env_kwargs={"max_episode_steps": 20})
+    ts = agent.init(jax.random.PRNGKey(0))
+    ts = agent.warmup(ts)
+
+    groups_seen = []
+    for _ in range(3):
+        for _ in range(12):          # 20-step episodes -> several finish
+            ts, _ = agent.train_iter(ts)
+        ts = agent.update_cluster(ts)
+        groups_seen.append(agent.agent.num_groups)
+        ts, logs = agent.train_iter(ts)   # train at the (possibly) new G
+        assert np.isfinite(float(logs["train/critic_loss"]))
+        assert np.isfinite(float(logs["train/actor_loss"]))
+        _assert_replicated(ts.actor_params)
+        _assert_replicated(ts.critics)
+        _assert_replicated(ts.embeddings)
+    assert all(g >= 1 for g in groups_seen)
+
+    # eval under DP: the replicated actor drives a fresh eval env
+    eval_env = make_env("pointmaze-v1", num_envs=8, max_episode_steps=20)
+    metrics, _ = eval_rollout(eval_env, agent.eval_policy(ts),
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["eval/return"]))
+    assert np.isfinite(float(metrics["eval/success_rate"]))
+
+
 def test_specs_cover_state():
     mesh = make_mesh(8)
     agent = DPAgentDDiffPG(_cfg(8), mesh)

@@ -95,6 +95,9 @@ def main(argv=None):
                 agent, "cluster_manager"):
             agent.cluster_manager.scheduler.last_cluster = \
                 meta["last_cluster"]
+        if meta.get("lin_start") is not None:
+            agent._lin_start = meta["lin_start"]
+            agent._lin_total = meta["lin_total"]
         logger.console(f"resumed from {resume} "
                        f"(num_groups={meta.get('num_groups')})")
     else:
@@ -115,20 +118,20 @@ def main(argv=None):
         else int(ts.core.global_step)
     iter_t = 0
     steps_per_iter = cfg.algo.horizon_len * cfg.num_envs
-    t_last, s_last = time.time(), global_steps
+    t_start = time.time()
+    t_last, s_last = t_start, global_steps
 
     while global_steps < cfg.max_step:
+        if cfg.max_time and time.time() - t_start > cfg.max_time:
+            logger.console(f"max_time {cfg.max_time}s reached — stopping")
+            break
         if iter_t % cfg.eval_freq == 0:
             if is_ddiffpg and iter_t > 0:
                 ts = agent.update_cluster(ts)
                 logger.console(f"recluster -> {agent.num_clusters} modes")
 
-            actor_params = ts.actor_params if not hasattr(ts, "core") \
-                else ts.core.actor_params
             eval_key, k = jax.random.split(eval_key)
-            metrics, xy = eval_rollout(
-                eval_env, lambda kk, o: agent.eval_actor(actor_params, kk, o),
-                k)
+            metrics, xy = eval_rollout(eval_env, agent.eval_policy(ts), k)
             metrics = {k2: float(v) for k2, v in metrics.items()}
             logger.log(metrics, global_steps)
             logger.console(
@@ -158,6 +161,13 @@ def main(argv=None):
                         if Z is not None and len(Z):
                             himg = plotting.plot_hierarchy(Z)
                             logger.log_image("hierarchy", himg, global_steps)
+                        # unsuccessful trajectories colored by their assigned
+                        # mode (ddiffpg_main.py:119-124)
+                        if agent.last_unsuccess_plot is not None:
+                            utrajs, uclusters = agent.last_unsuccess_plot
+                            uimg = plotting.plot_cluster(mm, utrajs, uclusters)
+                            logger.log_image("unsuccess_cluster", uimg,
+                                             global_steps)
                         hm = plotting.plot_heatmap(
                             np.asarray(ts.density_grid[0]))
                         logger.log_image("exploration_map", hm, global_steps)
@@ -169,6 +179,11 @@ def main(argv=None):
                 if is_ddiffpg:
                     meta["last_cluster"] = \
                         agent.cluster_manager.scheduler.last_cluster
+                    # exp.type=linear keeps its schedule anchor on the host
+                    # agent object — persist it so resume continues the ramp
+                    if hasattr(agent, "_lin_start"):
+                        meta["lin_start"] = agent._lin_start
+                        meta["lin_total"] = agent._lin_total
                 ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta)
 
         if iter_t == 20 and cfg.profile:
