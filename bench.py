@@ -23,17 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_train(num_envs: int = 1024, iters: int = 10):
+def bench_train(num_envs: int = 1024, iters: int = 10,
+                env: str = "antmaze-v1"):
     """Full DDiffPG training-iteration throughput (collect + update_times
-    gradient passes) on antmaze-v1."""
+    gradient passes)."""
     from ddiffpg_tpu import config as C
     from ddiffpg_tpu.agents import make_agent
     from ddiffpg_tpu.envs import make
 
+    env_name = env
     cfg = C.Config(algo=C.algo_preset("ddiffpg"))
+    cfg = cfg.override(**{"env.name": env_name})
     cfg = C.preprocess(cfg)
     cfg = cfg.override(num_envs=num_envs)
-    env = make("antmaze-v1", num_envs=num_envs, random_init=True)
+    env_kw = {"random_init": True} if "antmaze" in env_name else {}
+    env = make(env_name, num_envs=num_envs, **env_kw)
     agent = make_agent("DDiffPG", env, cfg)
     ts = agent.init(jax.random.PRNGKey(0))
     ts, _ = agent.train_iter(ts)     # compile + warm
@@ -45,7 +49,8 @@ def bench_train(num_envs: int = 1024, iters: int = 10):
     dt = time.time() - t0
     sps = num_envs * cfg.algo.horizon_len * iters / dt
     result = {
-        "metric": f"ddiffpg_train_env_steps_per_sec@{num_envs}envs",
+        "metric": (f"ddiffpg_train_env_steps_per_sec@{num_envs}envs"
+                   + ("" if env_name == "antmaze-v1" else f"_{env_name}")),
         "value": round(sps, 1),
         "unit": "env_steps/sec",
         "vs_baseline": round(sps / 1_000_000, 4),
@@ -56,12 +61,15 @@ def bench_train(num_envs: int = 1024, iters: int = 10):
     return result
 
 
-def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion"):
+def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion",
+         env: str = "antmaze-v1"):
     from ddiffpg_tpu.envs import make
     from ddiffpg_tpu.models.diffusion import DiffusionPolicy
     from ddiffpg_tpu.ops.embedding import append_embedding
 
-    env = make("antmaze-v1", num_envs=num_envs, random_init=True)
+    env_name = env
+    env_kw = {"random_init": True} if "antmaze" in env_name else {}
+    env = make(env_name, num_envs=num_envs, **env_kw)
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
 
@@ -100,7 +108,8 @@ def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion"):
 
     steps_per_sec = num_envs * n_steps * reps / dt
     result = {
-        "metric": f"antmaze_env_steps_per_sec@{num_envs}envs_{policy}_policy",
+        "metric": (f"{'antmaze' if env_name == 'antmaze-v1' else env_name}"
+                   f"_env_steps_per_sec@{num_envs}envs_{policy}_policy"),
         "value": round(steps_per_sec, 1),
         "unit": "env_steps/sec",
         "vs_baseline": round(steps_per_sec / 1_000_000, 4),

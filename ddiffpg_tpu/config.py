@@ -134,6 +134,12 @@ class Config:
     run_name: Optional[str] = None
     use_wandb: bool = False
     ckpt_freq_mult: int = 5      # checkpoint every eval_freq * this
+    # full-state periodic checkpoints (replay included). Default off: the
+    # replay tables are hundreds of MB and pulling them through a remote
+    # device tunnel stalls training for minutes per save; light checkpoints
+    # carry params/opts/embeddings/rms/PRNG (>= the reference's weights-only
+    # artifacts). The end-of-run checkpoint is always full.
+    ckpt_full: bool = False
     profile: bool = False        # capture a jax.profiler trace of iters 20-22
     device: str = "auto"         # 'auto' | 'cpu' | 'tpu' (forces jax platform)
     # numerics

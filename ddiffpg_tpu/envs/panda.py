@@ -67,8 +67,9 @@ class PandaTaskEnv:
         v_ee = V[h, 3:] + jnp.cross(V[h, :3], p_ee)
         return p_ee, v_ee, body_pos, body_quat
 
-    def _obs(self, qpos, qvel):
-        p_ee, v_ee, _, _ = self._ee_state(qpos, qvel)
+    def _obs_from(self, qpos, p_ee, v_ee):
+        """Build the observation from a precomputed ee state, so one FK per
+        step serves both the reward and the obs."""
         parts = [p_ee, v_ee]
         if not self.block_gripper:
             fq = qpos[jnp.asarray(self.meta["finger_qposadr"])]
@@ -76,6 +77,10 @@ class PandaTaskEnv:
         if self.task in ("DrawerMulti", "Cabinet"):
             parts.append(qpos[jnp.asarray(self.meta["task_qposadr"])])
         return jnp.concatenate(parts)
+
+    def _obs(self, qpos, qvel):
+        p_ee, v_ee, _, _ = self._ee_state(qpos, qvel)
+        return self._obs_from(qpos, p_ee, v_ee)
 
     # ------------------------------------------------------------- reset
 
@@ -157,13 +162,13 @@ class PandaTaskEnv:
         ctrl = self._ctrl_from_action(state.qpos, action)
         qpos, qvel = engine.step(self.model, state.qpos, state.qvel, ctrl)
 
-        p_ee, _, _, _ = self._ee_state(qpos, qvel)
+        p_ee, v_ee, _, _ = self._ee_state(qpos, qvel)
         succ, goal_id, reward = self._success_reward(qpos, p_ee)
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         done = succ | truncated
-        obs = self._obs(qpos, qvel)
+        obs = self._obs_from(qpos, p_ee, v_ee)
 
         k_reset, key = jax.random.split(state.key)
         reset_state = self._init_state(k_reset)
@@ -186,13 +191,13 @@ class PandaTaskEnv:
             qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel,
                                         ctrl)
 
-        p_ee, _, _, _ = jax.vmap(self._ee_state)(qpos, qvel)
+        p_ee, v_ee, _, _ = jax.vmap(self._ee_state)(qpos, qvel)
         succ, goal_id, reward = jax.vmap(self._success_reward)(qpos, p_ee)
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         done = succ | truncated
-        obs = jax.vmap(self._obs)(qpos, qvel)
+        obs = jax.vmap(self._obs_from)(qpos, p_ee, v_ee)
 
         keys = jax.vmap(jax.random.split)(state.key)
         reset_state = jax.vmap(self._init_state)(keys[:, 0])

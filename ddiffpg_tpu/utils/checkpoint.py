@@ -16,16 +16,56 @@ import jax
 import numpy as np
 
 
-def save(path, state, host_meta: dict | None = None):
+def _strip(state, skip):
+    """Blank out named (possibly dotted, e.g. 'core.replay') NamedTuple
+    fields; missing fields are ignored."""
+    for k in skip:
+        head, _, rest = k.partition(".")
+        if not hasattr(state, head):
+            continue
+        if rest:
+            state = state._replace(
+                **{head: _strip(getattr(state, head), [rest])})
+        else:
+            state = state._replace(**{head: None})
+    return state
+
+
+def _graft(state, example, skip):
+    """Put `example`'s values back into fields blanked by _strip."""
+    for k in skip:
+        head, _, rest = k.partition(".")
+        if not hasattr(state, head):
+            continue
+        if rest:
+            state = state._replace(**{head: _graft(
+                getattr(state, head), getattr(example, head), [rest])})
+        else:
+            state = state._replace(**{head: getattr(example, head)})
+    return state
+
+
+def save(path, state, host_meta: dict | None = None, skip: tuple = ()):
+    """skip: top-level (or dotted) state fields to EXCLUDE — used for the
+    periodic light checkpoints, where pulling the multi-hundred-MB replay
+    through the device tunnel would stall training for minutes. A light
+    checkpoint resumes with those fields freshly initialized (the
+    reference's own periodic saves are weights-only, model_util.py:23-35);
+    the end-of-run checkpoint is always full."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if skip:
+        state = _strip(state, skip)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     np_leaves = [np.asarray(x) for x in leaves]
     # atomic write: a killed process must not leave a truncated checkpoint
     tmp = path.with_suffix(".tmp")
     with open(tmp, "wb") as f:
+        meta = dict(host_meta or {})
+        if skip:
+            meta["light"] = True
         pickle.dump({"leaves": np_leaves, "treedef_str": str(treedef),
-                     "host_meta": host_meta or {}}, f,
+                     "host_meta": meta, "skip": list(skip)}, f,
                     protocol=pickle.HIGHEST_PROTOCOL)
     tmp.replace(path)
 
@@ -54,10 +94,15 @@ def load_model(path):
 
 
 def load(path, example_state):
-    """Restore into the structure of `example_state` (shapes must match)."""
+    """Restore into the structure of `example_state` (shapes must match).
+    Fields skipped at save time keep `example_state`'s (fresh) values."""
     with open(path, "rb") as f:
         blob = pickle.load(f)
-    _, treedef = jax.tree_util.tree_flatten(example_state)
+    skip = blob.get("skip", [])
+    example = _strip(example_state, skip) if skip else example_state
+    _, treedef = jax.tree_util.tree_flatten(example)
     state = jax.tree_util.tree_unflatten(
         treedef, [np.asarray(x) for x in blob["leaves"]])
+    if skip:
+        state = _graft(state, example_state, skip)
     return jax.tree.map(lambda x: jax.numpy.asarray(x), state), blob["host_meta"]

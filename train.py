@@ -86,21 +86,30 @@ def main(argv=None):
     key = jax.random.PRNGKey(cfg.seed)
     ts = agent.init(key)
 
+    need_warmup = True
     if resume:
         ts, meta = ckpt.load(resume, ts)
-        if hasattr(agent, "num_groups"):
-            agent.num_groups = int(meta.get("num_groups", 1))
-            agent.num_clusters = agent.num_groups - 1
-        if meta.get("last_cluster") is not None and hasattr(
-                agent, "cluster_manager"):
-            agent.cluster_manager.scheduler.last_cluster = \
-                meta["last_cluster"]
-        if meta.get("lin_start") is not None:
-            agent._lin_start = meta["lin_start"]
-            agent._lin_total = meta["lin_total"]
-        logger.console(f"resumed from {resume} "
-                       f"(num_groups={meta.get('num_groups')})")
-    else:
+        if meta.get("light"):
+            # light checkpoint: weights/opts/rms restored, replay fresh —
+            # refill the buffer and rebuild clusters from new data (the
+            # reference's weights-only resume behaves the same way)
+            logger.console(f"resumed (light) from {resume}: replay is "
+                           f"fresh, rewarming + reclustering")
+        else:
+            need_warmup = False
+            if hasattr(agent, "num_groups"):
+                agent.num_groups = int(meta.get("num_groups", 1))
+                agent.num_clusters = agent.num_groups - 1
+            if meta.get("last_cluster") is not None and hasattr(
+                    agent, "cluster_manager"):
+                agent.cluster_manager.scheduler.last_cluster = \
+                    meta["last_cluster"]
+            if meta.get("lin_start") is not None:
+                agent._lin_start = meta["lin_start"]
+                agent._lin_total = meta["lin_total"]
+            logger.console(f"resumed from {resume} "
+                           f"(num_groups={meta.get('num_groups')})")
+    if need_warmup:
         logger.console(f"warmup: {cfg.algo.warm_up} random steps x "
                        f"{cfg.num_envs} envs")
         t0 = time.time()
@@ -109,7 +118,7 @@ def main(argv=None):
         logger.console(f"warmup done in {time.time() - t0:.1f}s")
 
     is_ddiffpg = cfg.algo.name == "DDiffPG"
-    if is_ddiffpg and not resume:
+    if is_ddiffpg and need_warmup:
         ts = agent.update_cluster(ts)
         logger.console(f"initial clusters: {agent.num_clusters}")
 
@@ -184,7 +193,9 @@ def main(argv=None):
                     if hasattr(agent, "_lin_start"):
                         meta["lin_start"] = agent._lin_start
                         meta["lin_total"] = agent._lin_total
-                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta)
+                skip = () if cfg.ckpt_full else ("replay", "core.replay")
+                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta,
+                          skip=skip)
 
         if iter_t == 20 and cfg.profile:
             from jax import profiler as _profiler
