@@ -40,11 +40,13 @@ def bench_train(num_envs: int = 1024, iters: int = 10,
     env = make(env_name, num_envs=num_envs, **env_kw)
     agent = make_agent("DDiffPG", env, cfg)
     ts = agent.init(jax.random.PRNGKey(0))
-    ts, _ = agent.train_iter(ts)     # compile + warm
+    spi = num_envs * cfg.algo.horizon_len
+    ts, _ = agent.train_iter(ts, steps=0)     # compile + warm
     jax.block_until_ready(ts)
     t0 = time.time()
-    for _ in range(iters):
-        ts, logs = agent.train_iter(ts)
+    for i in range(iters):
+        # host-tracked steps: no blocking device fetch between dispatches
+        ts, logs = agent.train_iter(ts, steps=(i + 1) * spi)
     jax.block_until_ready(ts)
     dt = time.time() - t0
     sps = num_envs * cfg.algo.horizon_len * iters / dt

@@ -423,12 +423,15 @@ class AgentDDiffPG:
                 g[0], self._num_free)
         return ts, logs
 
-    def train_iter(self, ts: DDiffPGState):
+    def train_iter(self, ts: DDiffPGState, steps: int | None = None):
+        """One jitted train iteration. Pass the host-tracked `steps` counter
+        when available: reading `int(ts.global_step)` forces a blocking
+        device fetch of the previous iteration's donated state every iter."""
         G = self.num_groups
         if G not in self._iter_cache:
             self._iter_cache[G] = jax.jit(
                 partial(self._train_iter_impl, G=G), donate_argnums=0)
-        p = self.get_exp_p(int(ts.global_step))
+        p = self.get_exp_p(int(ts.global_step) if steps is None else steps)
         return self._iter_cache[G](ts, p)
 
     # ------------------------------------------------------- explore ratio p
@@ -525,6 +528,25 @@ class AgentDDiffPG:
                                 method=DiffusionPolicy.act)
 
     def eval_policy(self, ts):
-        """(key, obs) -> action closure; normalizes obs when obs_norm."""
+        """(key, obs) -> action closure; normalizes obs when obs_norm.
+
+        NOTE: the returned lambda has a fresh identity every call — using it
+        as eval_rollout's static actor_fn retraces the rollout per eval.
+        Prefer eval_rollout(env, agent.eval_fn, key, agent.eval_args(ts))."""
         return lambda key, obs: self.eval_actor(
             ts.actor_params, key, self._norm_obs(ts, obs))
+
+    def eval_fn(self, args, key, obs):
+        """Stable eval actor for eval_rollout: bound methods hash equal
+        across accesses, so the rollout program compiles once per agent."""
+        params, rms = args
+        if rms is not None:
+            obs = rs.normalize(rms, obs)
+        emb_obs = append_embedding(obs, jnp.zeros(self.embed_dim))
+        return self.actor.apply(params, key, emb_obs,
+                                method=DiffusionPolicy.act)
+
+    def eval_args(self, ts):
+        """Dynamic pytree consumed by eval_fn (params + optional obs rms)."""
+        return (ts.actor_params,
+                ts.obs_rms if self.cfg.algo.obs_norm else None)

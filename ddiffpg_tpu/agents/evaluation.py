@@ -9,11 +9,18 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def eval_rollout(env, actor_fn, key):
+def eval_rollout(env, actor_fn, key, actor_args=None):
     """Run one full episode-length rollout on the eval vector env.
 
     actor_fn(key, obs) -> action (already deterministic / no exploration
     noise). Returns metrics dict + xy trajectory [T, E, 2].
+
+    `actor_fn` is a STATIC argument: pass a stable callable (e.g. the
+    agent's bound `eval_fn` method, which hashes equal across calls) and
+    thread the train-state-dependent parameters through `actor_args`
+    (a dynamic pytree, signature actor_fn(actor_args, key, obs)).
+    Passing a fresh closure every call retraces the whole rollout
+    program each eval — minutes per eval on a remote-compile target.
     """
     k_reset, key = jax.random.split(key)
     env_state, obs = env.reset(k_reset)
@@ -21,7 +28,8 @@ def eval_rollout(env, actor_fn, key):
 
     def body(carry, k):
         env_state, obs, cur_ret, cur_len, acc = carry
-        action = actor_fn(k, obs)
+        action = (actor_fn(k, obs) if actor_args is None
+                  else actor_fn(actor_args, k, obs))
         env_state, next_obs, reward, done, info = env.step(env_state, action)
         cur_ret = cur_ret + reward
         cur_len = cur_len + 1.0

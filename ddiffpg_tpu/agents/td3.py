@@ -261,7 +261,8 @@ class AgentTD3:
         logs["train/episode_length"] = ts.stats.step_tracker.mean()
         return ts, logs
 
-    def train_iter(self, ts: TD3State):
+    def train_iter(self, ts: TD3State, steps: int | None = None):
+        del steps  # cadence is state-free for the baselines
         return self._train_iter(ts)
 
     # -- evaluation ----------------------------------------------------------
@@ -276,7 +277,23 @@ class AgentTD3:
     def eval_policy(self, ts):
         """(key, obs) -> action closure over the full train state; applies
         obs normalization when enabled (reference eval path normalizes:
-        scripts/ddiffpg_main.py:84-86)."""
+        scripts/ddiffpg_main.py:84-86). Fresh identity per call — prefer
+        eval_rollout(env, agent.eval_fn, key, agent.eval_args(ts))."""
         core = getattr(ts, "core", ts)
         return lambda key, obs: self.eval_actor(
             core.actor_params, key, self._norm_obs(core, obs))
+
+    def eval_fn(self, args, key, obs):
+        """Stable eval actor (see AgentDDiffPG.eval_fn); subclasses reuse it
+        through their `_actor_act` override."""
+        params, rms = args
+        if rms is not None:
+            from ddiffpg_tpu.ops import running_stats as rs
+
+            obs = rs.normalize(rms, obs)
+        return self._actor_act(params, key, obs)
+
+    def eval_args(self, ts):
+        core = getattr(ts, "core", ts)
+        rms = core.obs_rms if self.cfg.algo.obs_norm else None
+        return (core.actor_params, rms)

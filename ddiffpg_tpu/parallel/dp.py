@@ -103,7 +103,7 @@ class DPAgentDDiffPG:
         ts = ts._replace(key=jax.random.split(orig_key, 1)[0])
         return ts, logs
 
-    def train_iter(self, ts):
+    def train_iter(self, ts, steps: int | None = None):
         G = self.agent.num_groups
         if G not in self._iter_cache:
             specs = state_specs(ts, self.axis)
@@ -114,7 +114,8 @@ class DPAgentDDiffPG:
                 in_specs=(specs, P()), out_specs=(specs, P()),
                 check_vma=False)
             self._iter_cache[G] = jax.jit(fn, donate_argnums=0)
-        p = self.agent.get_exp_p(int(np.asarray(ts.global_step)))
+        p = self.agent.get_exp_p(
+            int(np.asarray(ts.global_step)) if steps is None else steps)
         return self._iter_cache[G](ts, jnp.asarray(p))
 
     def warmup(self, ts):
@@ -150,3 +151,10 @@ class DPAgentDDiffPG:
 
     def eval_policy(self, ts):
         return self.agent.eval_policy(ts)
+
+    @property
+    def eval_fn(self):
+        return self.agent.eval_fn
+
+    def eval_args(self, ts):
+        return self.agent.eval_args(ts)

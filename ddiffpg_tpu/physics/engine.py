@@ -358,11 +358,11 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
         f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) \
             * scale[:, None]
-        return f_n[:, None] * normal + f_t
+        return f_n[:, None] * normal + f_t, f_n, jnp.where(pen > 0, v_n, 0.0)
 
     dist_p = pts[:, 2] - rads
     n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (npts, 3))
-    total = force_from(dist_p, n_p)
+    total, imp_pt, vmin_pt = force_from(dist_p, n_p)
 
     if m.nsb > 0:
         bmin = jnp.asarray(m.static_box_min)[None]
@@ -384,6 +384,32 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_t = -fric[:, None, None] * f_n[..., None] * (v_t / vt_norm[..., None]) \
             * scale[..., None]
         total = total + (f_n[..., None] * n_b + f_t).sum(axis=1)
+        imp_pt = imp_pt + f_n.sum(axis=1)
+        vmin_pt = jnp.minimum(vmin_pt,
+                              jnp.where(pen > 0, v_n, 0.0).min(axis=1))
+
+    # --- per-body world-contact impulse budget -----------------------------
+    # The per-probe cap above bounds each probe's substep impulse, but a
+    # body carries several probes (the torso has 9) and their CAPPED
+    # impulses SUM: a torso slamming the floor at the -20 m/s clamp could
+    # rebound at +20 (9 x budget) and fly over the maze walls, ending the
+    # episode (z > 2 guard, envs/antmaze.py). Rescale every probe force on
+    # a body so the body's total normal impulse stays within
+    #   2*m_total*g (static support allowance, scale-free)
+    #   + m_b * (maxrebound - min v_n) / dt (rebound allowance),
+    # which keeps post-substep rebound O(maxrebound) while leaving
+    # resting-contact support forces untouched. World contacts only —
+    # dynamic-geom (furniture) pairs keep the per-probe cap so their
+    # equal-and-opposite reactions stay consistent.
+    m_total = float(np.asarray(m.mass).sum())
+    g_mag = float(abs(m.gravity[2]))
+    allow = (2.0 * m_total * g_mag
+             + m_eff * (m.contact_maxrebound
+                        + jnp.maximum(-vmin_pt, 0.0)) / m.dt)
+    imp_body = jax.ops.segment_sum(imp_pt, body_of_pt, num_segments=m.nb)
+    allow_body = jax.ops.segment_max(allow, body_of_pt, num_segments=m.nb)
+    s_body = jnp.minimum(1.0, allow_body / jnp.maximum(imp_body, 1e-9))
+    total = total * s_body[body_of_pt][:, None]
 
     # --- probe spheres vs dynamic BOX geoms (drawers, doors, furniture) ---
     F_other = jnp.zeros((m.nb, 6))

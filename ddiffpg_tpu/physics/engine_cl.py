@@ -402,6 +402,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
     f_t = -fric * f_n * scale / vt_norm
     total = f_n[:, None, :] * n_p + f_t[:, None, :] * v_t
+    imp_pt = f_n                                             # [npts, B]
+    vmin_pt = jnp.where(pen > 0, v_n, 0.0)
 
     # static world: precomputed SDF (grid mazes) or explicit AABB tests
     if m.sdf_dist.size > 0:
@@ -448,6 +450,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
         f_t = -fric * f_n * scale / vt_norm
         total = total + f_n[:, None, :] * n_s + f_t[:, None, :] * v_t
+        imp_pt = imp_pt + f_n
+        vmin_pt = jnp.minimum(vmin_pt, jnp.where(pen > 0, v_n, 0.0))
     elif m.nsb > 0:
         bmin = jnp.asarray(m.static_box_min)[None, :, :, None]
         bmax = jnp.asarray(m.static_box_max)[None, :, :, None]
@@ -468,6 +472,26 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_t = -fric[:, None] * f_n * scale / vt_norm
         total = total + (f_n[:, :, None, :] * n_b
                          + f_t[:, :, None, :] * v_t).sum(axis=1)
+        imp_pt = imp_pt + f_n.sum(axis=1)
+        vmin_pt = jnp.minimum(vmin_pt,
+                              jnp.where(pen > 0, v_n, 0.0).min(axis=1))
+
+    # per-body world-contact impulse budget: several capped probes on one
+    # body still SUM past the per-probe cap (the torso has 9 probes), so a
+    # floor slam at the qvel clamp could rebound at +20 m/s and fly over
+    # the maze walls. Rescale so each body's total normal impulse stays
+    # within a static-support allowance (2*m_total*g) plus a rebound
+    # allowance m_b*(maxrebound - min v_n)/dt. Semantics match
+    # engine.py:contact_forces; world contacts only.
+    m_total = float(np.asarray(m.mass).sum())
+    g_mag = float(abs(m.gravity[2]))
+    allow = (2.0 * m_total * g_mag
+             + m_eff * (m.contact_maxrebound
+                        + jnp.maximum(-vmin_pt, 0.0)) / m.dt)
+    imp_body = jax.ops.segment_sum(imp_pt, body_of_pt, num_segments=m.nb)
+    allow_body = jax.ops.segment_max(allow, body_of_pt, num_segments=m.nb)
+    s_body = jnp.minimum(1.0, allow_body / jnp.maximum(imp_body, 1e-9))
+    total = total * s_body[body_of_pt][:, None, :]
 
     # dynamic box geoms (drawers / doors)
     F_other = jnp.zeros((m.nb, 6, B))

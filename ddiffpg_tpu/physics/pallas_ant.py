@@ -373,9 +373,10 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             vt = jnp.sqrt(tx * tx + ty * ty + tz * tz + vtol * vtol * 1e-4)
             scale = jnp.minimum(1.0, vt / vtol)
             ft = -fric * f_n * scale / vt
-            return f_n * nx + ft * tx, f_n * ny + ft * ty, f_n * nz + ft * tz
+            return (f_n * nx + ft * tx, f_n * ny + ft * ty,
+                    f_n * nz + ft * tz, f_n, jnp.where(pen > 0, v_n, 0.0))
 
-        fx, fy, fz = contact_force(pz - rad, 0.0, 0.0, 1.0)
+        fx, fy, fz, imp_pt, vmin_pt = contact_force(pz - rad, 0.0, 0.0, 1.0)
         for (bmin, bmax) in boxes:
             cx_ = jnp.clip(px, bmin[0], bmax[0])
             cy_ = jnp.clip(py, bmin[1], bmax[1])
@@ -408,10 +409,40 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             ny = jnp.where(outside, dy * inv, nyi)
             nz = jnp.where(outside, dz * inv, nzi)
             dist = jnp.where(outside, d_out, -d_in) - rad
-            gx, gy, gz = contact_force(dist, nx, ny, nz)
+            gx, gy, gz, g_fn, g_vn = contact_force(dist, nx, ny, nz)
             fx = fx + gx
             fy = fy + gy
             fz = fz + gz
+            imp_pt = imp_pt + g_fn
+            vmin_pt = jnp.minimum(vmin_pt, g_vn)
+
+        # per-body world-contact impulse budget (semantics match
+        # engine.py:contact_forces): several capped probes on one body sum
+        # past the per-probe cap (the torso carries 9) — rescale so each
+        # body's total normal impulse stays within a static-support
+        # allowance 2*m_total*g plus a rebound allowance
+        # m_b*(maxrebound - min v_n)/dt. World contacts only.
+        m_total = float(sum(mass))
+        support_F = 2.0 * m_total * abs(gravity[2])
+        body_rows = {}
+        for k, (b, _, _, _) in enumerate(probes):
+            body_rows.setdefault(b, []).append(k)
+        s_rows = [None] * npts
+        for b, rows in body_rows.items():
+            imp_b = imp_pt[rows[0]:rows[0] + 1]
+            vmin_b = vmin_pt[rows[0]:rows[0] + 1]
+            for r in rows[1:]:
+                imp_b = imp_b + imp_pt[r:r + 1]
+                vmin_b = jnp.minimum(vmin_b, vmin_pt[r:r + 1])
+            allow_b = support_F + mass[b] * (
+                vreb + jnp.maximum(-vmin_b, 0.0)) / dt
+            s_b = jnp.minimum(1.0, allow_b / jnp.maximum(imp_b, 1e-9))
+            for r in rows:
+                s_rows[r] = s_b
+        s_pt = jnp.concatenate(s_rows)
+        fx = fx * s_pt
+        fy = fy * s_pt
+        fz = fz * s_pt
 
         # ---- dynamic BOX geoms (drawers / doors): per-probe OBB test in
         # the box's local frame; equal-and-opposite reaction on the box

@@ -34,3 +34,32 @@ def test_diffq_agent_smoke():
                          jnp.zeros((4, env.obs_dim)))
     assert a.shape == (4, env.action_dim)
     assert float(jnp.abs(a).max()) <= 1.0
+
+
+def test_eval_fn_compiles_once_across_train_states():
+    """eval_rollout's actor_fn is a STATIC jit argument: the agent's bound
+    eval_fn hashes equal across accesses, so repeated evals with changing
+    params reuse one compiled rollout program. (A fresh closure per eval —
+    the old eval_policy(ts) pattern — retraces the 500-step program every
+    eval, which costs minutes per eval through a remote-compile tunnel.)"""
+    cfg = small_cfg("ddiffpg")
+    env = make(cfg.env.name, num_envs=cfg.num_envs)
+    agent = make_agent("DDiffPG", env, cfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+
+    assert agent.eval_fn == agent.eval_fn          # bound-method stability
+    eval_env = make(cfg.env.name, num_envs=4)
+
+    n0 = eval_rollout._cache_size()
+    m1, _ = eval_rollout(eval_env, agent.eval_fn, jax.random.PRNGKey(1),
+                         agent.eval_args(ts))
+    n1 = eval_rollout._cache_size()
+    # perturb params (a different train state) and eval again
+    ts2 = ts._replace(actor_params=jax.tree.map(
+        lambda x: x + 1e-3, ts.actor_params))
+    m2, _ = eval_rollout(eval_env, agent.eval_fn, jax.random.PRNGKey(2),
+                         agent.eval_args(ts2))
+    n2 = eval_rollout._cache_size()
+    assert n1 == n0 + 1 and n2 == n1               # no retrace on call 2
+    assert np.isfinite(float(m1["eval/return"]))
+    assert np.isfinite(float(m2["eval/return"]))

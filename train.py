@@ -73,14 +73,28 @@ def main(argv=None):
     eval_env = make(cfg.env.name, num_envs=cfg.eval_num_envs, **env_kw)
 
     # clean exit on Ctrl-C (reference capture_keyboard_interrupt,
-    # utils/common.py:178-186)
+    # utils/common.py:178-186); SIGUSR1 requests a FULL checkpoint at the
+    # next loop top, SIGTERM requests full-checkpoint-then-exit — so an
+    # external supervisor can always stop a run without losing the replay
+    # state that periodic light checkpoints skip.
     import signal
+
+    requests = {"full_ckpt": False, "stop": False}
 
     def _sigint(sig, frame):
         logger.console("interrupted — exiting")
         sys.exit(0)
 
+    def _sigusr1(sig, frame):
+        requests["full_ckpt"] = True
+
+    def _sigterm(sig, frame):
+        requests["full_ckpt"] = True
+        requests["stop"] = True
+
     signal.signal(signal.SIGINT, _sigint)
+    signal.signal(signal.SIGUSR1, _sigusr1)
+    signal.signal(signal.SIGTERM, _sigterm)
 
     agent = make_agent(cfg.algo.name, env, cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -130,9 +144,27 @@ def main(argv=None):
     t_start = time.time()
     t_last, s_last = t_start, global_steps
 
+    def _full_meta():
+        meta = {"num_groups": getattr(agent, "num_groups", 1)}
+        if is_ddiffpg:
+            meta["last_cluster"] = \
+                agent.cluster_manager.scheduler.last_cluster
+            if hasattr(agent, "_lin_start"):
+                meta["lin_start"] = agent._lin_start
+                meta["lin_total"] = agent._lin_total
+        return meta
+
     while global_steps < cfg.max_step:
         if cfg.max_time and time.time() - t_start > cfg.max_time:
             logger.console(f"max_time {cfg.max_time}s reached — stopping")
+            break
+        if requests["full_ckpt"]:
+            requests["full_ckpt"] = False
+            path = logger.dir / f"ckpt_{global_steps}_full.pkl"
+            ckpt.save(path, ts, _full_meta())
+            logger.console(f"signal: full checkpoint -> {path}")
+        if requests["stop"]:
+            logger.console("SIGTERM: stopping after full checkpoint")
             break
         if iter_t % cfg.eval_freq == 0:
             if is_ddiffpg and iter_t > 0:
@@ -140,8 +172,12 @@ def main(argv=None):
                 logger.console(f"recluster -> {agent.num_clusters} modes")
 
             eval_key, k = jax.random.split(eval_key)
-            metrics, xy = eval_rollout(eval_env, agent.eval_policy(ts), k)
-            metrics = {k2: float(v) for k2, v in metrics.items()}
+            # stable bound eval_fn + dynamic args: the rollout program
+            # compiles ONCE per run (a fresh closure would retrace per eval)
+            metrics, xy = eval_rollout(eval_env, agent.eval_fn, k,
+                                       agent.eval_args(ts))
+            metrics = {k2: float(v)
+                       for k2, v in jax.device_get(metrics).items()}
             logger.log(metrics, global_steps)
             logger.console(
                 f"iter {iter_t} steps {global_steps}: "
@@ -184,24 +220,15 @@ def main(argv=None):
                     logger.console(f"plotting failed: {e}")
 
             if iter_t % (cfg.eval_freq * cfg.ckpt_freq_mult) == 0 and iter_t:
-                meta = {"num_groups": getattr(agent, "num_groups", 1)}
-                if is_ddiffpg:
-                    meta["last_cluster"] = \
-                        agent.cluster_manager.scheduler.last_cluster
-                    # exp.type=linear keeps its schedule anchor on the host
-                    # agent object — persist it so resume continues the ramp
-                    if hasattr(agent, "_lin_start"):
-                        meta["lin_start"] = agent._lin_start
-                        meta["lin_total"] = agent._lin_total
                 skip = () if cfg.ckpt_full else ("replay", "core.replay")
-                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts, meta,
-                          skip=skip)
+                ckpt.save(logger.dir / f"ckpt_{global_steps}.pkl", ts,
+                          _full_meta(), skip=skip)
 
         if iter_t == 20 and cfg.profile:
             from jax import profiler as _profiler
 
             _profiler.start_trace(str(logger.dir / "profile"))
-        ts, logs = agent.train_iter(ts)
+        ts, logs = agent.train_iter(ts, steps=global_steps)
         if iter_t == 22 and cfg.profile:
             from jax import profiler as _profiler
 
@@ -212,7 +239,8 @@ def main(argv=None):
         iter_t += 1
 
         if iter_t % cfg.log_freq == 0:
-            logs = {k2: float(v) for k2, v in logs.items()}
+            # one bulk fetch instead of a device round trip per scalar
+            logs = {k2: float(v) for k2, v in jax.device_get(logs).items()}
             logs["global_steps"] = global_steps
             if time.time() - t_last > 30:
                 sps = (global_steps - s_last) / (time.time() - t_last)
@@ -224,8 +252,7 @@ def main(argv=None):
                 t_last, s_last = time.time(), global_steps
             logger.log(logs, global_steps)
 
-    ckpt.save(logger.dir / "ckpt_final.pkl", ts,
-              {"num_groups": getattr(agent, "num_groups", 1)})
+    ckpt.save(logger.dir / "ckpt_final.pkl", ts, _full_meta())
     logger.console("done")
     return ts
 
