@@ -84,4 +84,10 @@ def test_sigusr1_full_ckpt_then_sigterm_stop(tmp_path):
     ts = agent.init(jax.random.PRNGKey(0))
     restored, meta = ckpt.load(str(full[-1]), ts)
     assert not meta.get("light")
-    assert int(restored.replay.size) > 0
+    # full checkpoints carry the replay (light ones skip it): the in-flight
+    # per-env episode buffers fill from the very first warmup step, so they
+    # must be non-zero even if no episode has finished yet
+    import numpy as np
+
+    assert int(np.asarray(restored.replay.tmp_len).sum()) > 0
+    assert int(np.asarray(restored.global_step)) > 0
