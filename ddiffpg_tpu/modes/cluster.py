@@ -74,7 +74,13 @@ class ClusterManager:
             out.append(np.asarray(tr, np.float64))
         return out
 
-    DTW_CHUNK = 256
+    # pairs per device launch. A full-capacity recluster computes
+    # ~new_trajs x capacity fresh pairs (~10^5); at 256-pair chunks that is
+    # hundreds of dispatches, and on a remote-tunnel backend the ~100 ms
+    # launch latency dominates the recluster (~75 s/recluster measured).
+    # 2048-pair chunks cut it ~8x at one extra one-time compile per length
+    # bucket; the wavefront state is O(chunk x L) so memory stays small.
+    DTW_CHUNK = 2048
 
     def _dtw_many(self, pairs, tr_a, tr_b):
         """Compute DTW for a list of (key, a_idx, b_idx) via the device
@@ -106,6 +112,7 @@ class ClusterManager:
 
         from ddiffpg_tpu.ops.dtw import dtw_batch
 
+        pending = []
         for c0 in range(0, len(pairs), C):
             chunk = pairs[c0: c0 + C]
             A = np.zeros((C, L, D), np.float32)
@@ -117,8 +124,13 @@ class ClusterManager:
                 A[k, : len(ta)] = ta
                 B[k, : len(tb)] = tb
                 la[k], lb[k] = len(ta), len(tb)
-            d = np.asarray(dtw_batch(jnp.asarray(A), jnp.asarray(B),
-                                     jnp.asarray(la), jnp.asarray(lb)))
+            # dispatch async; resolve after ALL chunks are queued so device
+            # launches overlap the host-side packing of later chunks
+            pending.append((chunk, dtw_batch(
+                jnp.asarray(A), jnp.asarray(B),
+                jnp.asarray(la), jnp.asarray(lb))))
+        for chunk, dev in pending:
+            d = np.asarray(dev)
             for k, (key, _, _) in enumerate(chunk):
                 self.cache[key] = float(d[k])
                 self.cache[(key[1], key[0])] = float(d[k])
