@@ -339,6 +339,12 @@ def contact_forces(m: Model, body_pos, body_quat, V):
 
     Vp = V[body_of_pt]
     v_pt = Vp[:, 3:] + jnp.cross(Vp[:, :3], pts)
+    # body-frame-origin (~COM) linear velocity per probe: the impulse
+    # budget below must meter on the BODY's motion, not the probe point's —
+    # a spinning body has probes moving down while its COM moves up, and a
+    # point-velocity budget lets rotation mint fresh "arrest" allowance
+    # every substep (flywheel pumping -> monotone COM thrust -> catapult)
+    v_bl = (V[:, 3:] + jnp.cross(V[:, :3], body_pos))[body_of_pt]
 
     def force_from(dist, normal):
         pen = jnp.maximum(-dist, 0.0)
@@ -358,7 +364,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         scale = jnp.minimum(1.0, vt_norm / m.friction_vel_tol)
         f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) \
             * scale[:, None]
-        return f_n[:, None] * normal + f_t, f_n, jnp.where(pen > 0, v_n, 0.0)
+        v_cn = (v_bl * normal).sum(-1)
+        return (f_n[:, None] * normal + f_t, f_n,
+                jnp.where(pen > 0, v_cn, 0.0))
 
     dist_p = pts[:, 2] - rads
     n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (npts, 3))
@@ -385,8 +393,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             * scale[..., None]
         total = total + (f_n[..., None] * n_b + f_t).sum(axis=1)
         imp_pt = imp_pt + f_n.sum(axis=1)
+        v_cn = (v_bl[:, None, :] * n_b).sum(-1)
         vmin_pt = jnp.minimum(vmin_pt,
-                              jnp.where(pen > 0, v_n, 0.0).min(axis=1))
+                              jnp.where(pen > 0, v_cn, 0.0).min(axis=1))
 
     # --- per-body world-contact impulse budget -----------------------------
     # The per-probe cap above bounds each probe's substep impulse, but a

@@ -382,6 +382,11 @@ def contact_forces(m: Model, body_pos, body_quat, V):
 
     Vp = V[body_of_pt]                                       # [npts, 6, B]
     v_pt = Vp[:, 3:] + _cross(Vp[:, :3], pts)
+    # body (~COM) linear velocity per probe: the impulse budget meters on
+    # the BODY's motion, not the probe point's — a point-velocity budget
+    # lets rotation mint fresh arrest allowance every substep (flywheel
+    # pumping). See engine.py:contact_forces.
+    v_bl = (V[:, 3:] + _cross(V[:, :3], body_pos))[body_of_pt]
 
     # plane z = 0
     dist_p = pts[:, 2] - rads                                # [npts, B]
@@ -403,7 +408,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     f_t = -fric * f_n * scale / vt_norm
     total = f_n[:, None, :] * n_p + f_t[:, None, :] * v_t
     imp_pt = f_n                                             # [npts, B]
-    vmin_pt = jnp.where(pen > 0, v_n, 0.0)
+    vmin_pt = jnp.where(pen > 0, v_bl[:, 2], 0.0)
 
     # static world: precomputed SDF (grid mazes) or explicit AABB tests
     if m.sdf_dist.size > 0:
@@ -451,7 +456,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_t = -fric * f_n * scale / vt_norm
         total = total + f_n[:, None, :] * n_s + f_t[:, None, :] * v_t
         imp_pt = imp_pt + f_n
-        vmin_pt = jnp.minimum(vmin_pt, jnp.where(pen > 0, v_n, 0.0))
+        v_cn = (v_bl * n_s).sum(-2)
+        vmin_pt = jnp.minimum(vmin_pt, jnp.where(pen > 0, v_cn, 0.0))
     elif m.nsb > 0:
         bmin = jnp.asarray(m.static_box_min)[None, :, :, None]
         bmax = jnp.asarray(m.static_box_max)[None, :, :, None]
@@ -473,8 +479,9 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         total = total + (f_n[:, :, None, :] * n_b
                          + f_t[:, :, None, :] * v_t).sum(axis=1)
         imp_pt = imp_pt + f_n.sum(axis=1)
+        v_cn = (v_bl[:, None] * n_b).sum(-2)
         vmin_pt = jnp.minimum(vmin_pt,
-                              jnp.where(pen > 0, v_n, 0.0).min(axis=1))
+                              jnp.where(pen > 0, v_cn, 0.0).min(axis=1))
 
     # per-body world-contact impulse budget: several capped probes on one
     # body still SUM past the per-probe cap (the torso has 9 probes), so a

@@ -342,6 +342,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             vadd(pos[b], qrot(quat[b], off))[2] for b, off, r, fr in probes])
         # probe velocities v = V.lin + w x p
         vx_l, vy_l, vz_l = [], [], []
+        vbx_l, vby_l, vbz_l = [], [], []
         for b, off, r, fr in probes:
             w, vo_b = V[b]
             pw = vadd(pos[b], qrot(quat[b], off))
@@ -349,9 +350,19 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             vx_l.append(vv[0])
             vy_l.append(vv[1])
             vz_l.append(vv[2])
+            # body (~COM) velocity: the impulse budget meters on the
+            # body's motion, not the probe point's (see
+            # engine.py:contact_forces — flywheel pumping)
+            vb = vadd(vo_b, vcross(w, pos[b]))
+            vbx_l.append(vb[0])
+            vby_l.append(vb[1])
+            vbz_l.append(vb[2])
         vx = jnp.concatenate(vx_l)
         vy = jnp.concatenate(vy_l)
         vz = jnp.concatenate(vz_l)
+        vbx = jnp.concatenate(vbx_l)
+        vby = jnp.concatenate(vby_l)
+        vbz = jnp.concatenate(vbz_l)
         rad, fric, k_n, c_n = probe_consts
         # impulse cap scale: m_eff/dt = k_n/(omega^2 dt) — the gate only
         # sees the pre-substep velocity; bound the substep impulse so the
@@ -373,8 +384,9 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             vt = jnp.sqrt(tx * tx + ty * ty + tz * tz + vtol * vtol * 1e-4)
             scale = jnp.minimum(1.0, vt / vtol)
             ft = -fric * f_n * scale / vt
+            v_cn = vbx * nx + vby * ny + vbz * nz
             return (f_n * nx + ft * tx, f_n * ny + ft * ty,
-                    f_n * nz + ft * tz, f_n, jnp.where(pen > 0, v_n, 0.0))
+                    f_n * nz + ft * tz, f_n, jnp.where(pen > 0, v_cn, 0.0))
 
         fx, fy, fz, imp_pt, vmin_pt = contact_force(pz - rad, 0.0, 0.0, 1.0)
         for (bmin, bmax) in boxes:
