@@ -112,6 +112,18 @@ class ClusterManager:
 
         from ddiffpg_tpu.ops.dtw import dtw_batch
 
+        # dispatch a BOUNDED window of chunks ahead so device launches
+        # overlap host-side packing, without keeping every chunk's inputs
+        # alive on-device at once (a full-cache rebuild is ~10^3 chunks x
+        # ~17 MB of inputs — unbounded queueing exhausts HBM)
+        WINDOW = 4
+
+        def resolve(chunk, dev):
+            d = np.asarray(dev)
+            for k, (key, _, _) in enumerate(chunk):
+                self.cache[key] = float(d[k])
+                self.cache[(key[1], key[0])] = float(d[k])
+
         pending = []
         for c0 in range(0, len(pairs), C):
             chunk = pairs[c0: c0 + C]
@@ -124,16 +136,13 @@ class ClusterManager:
                 A[k, : len(ta)] = ta
                 B[k, : len(tb)] = tb
                 la[k], lb[k] = len(ta), len(tb)
-            # dispatch async; resolve after ALL chunks are queued so device
-            # launches overlap the host-side packing of later chunks
             pending.append((chunk, dtw_batch(
                 jnp.asarray(A), jnp.asarray(B),
                 jnp.asarray(la), jnp.asarray(lb))))
+            if len(pending) >= WINDOW:
+                resolve(*pending.pop(0))
         for chunk, dev in pending:
-            d = np.asarray(dev)
-            for k, (key, _, _) in enumerate(chunk):
-                self.cache[key] = float(d[k])
-                self.cache[(key[1], key[0])] = float(d[k])
+            resolve(chunk, dev)
 
     # -- main entry ----------------------------------------------------------
 
