@@ -112,6 +112,28 @@ class ClusterManager:
 
         from ddiffpg_tpu.ops.dtw import dtw_batch
 
+        # pad each REFERENCED trajectory once, then assemble each chunk by a
+        # vectorized gather — the naive per-pair row copy is ~pairs row
+        # copies (10^5-10^6 at a full-cache rebuild) and made the host the
+        # recluster bottleneck; this is ~unique-trajs copies instead
+        def stack(side, tr):
+            ids = sorted({p[side] for p in pairs})
+            pos = {i: n for n, i in enumerate(ids)}
+            S = np.zeros((len(ids), L, D), np.float32)
+            ln = np.ones(len(ids), np.int32)
+            for i in ids:
+                t = tr[i]
+                S[pos[i], : len(t)] = t
+                ln[pos[i]] = len(t)
+            return S, ln, pos
+
+        Sa, la_u, pos_a = stack(1, tr_a)
+        Sb, lb_u, pos_b = stack(2, tr_b)
+        ia_all = np.fromiter((pos_a[p[1]] for p in pairs), np.int64,
+                             len(pairs))
+        ib_all = np.fromiter((pos_b[p[2]] for p in pairs), np.int64,
+                             len(pairs))
+
         # dispatch a BOUNDED window of chunks ahead so device launches
         # overlap host-side packing, without keeping every chunk's inputs
         # alive on-device at once (a full-cache rebuild is ~10^3 chunks x
@@ -127,15 +149,16 @@ class ClusterManager:
         pending = []
         for c0 in range(0, len(pairs), C):
             chunk = pairs[c0: c0 + C]
+            ia = ia_all[c0: c0 + C]
+            ib = ib_all[c0: c0 + C]
             A = np.zeros((C, L, D), np.float32)
             B = np.zeros((C, L, D), np.float32)
             la = np.ones(C, np.int32)
             lb = np.ones(C, np.int32)
-            for k, (_, i, j) in enumerate(chunk):
-                ta, tb = tr_a[i], tr_b[j]
-                A[k, : len(ta)] = ta
-                B[k, : len(tb)] = tb
-                la[k], lb[k] = len(ta), len(tb)
+            A[: len(chunk)] = Sa[ia]
+            B[: len(chunk)] = Sb[ib]
+            la[: len(chunk)] = la_u[ia]
+            lb[: len(chunk)] = lb_u[ib]
             pending.append((chunk, dtw_batch(
                 jnp.asarray(A), jnp.asarray(B),
                 jnp.asarray(la), jnp.asarray(lb))))
