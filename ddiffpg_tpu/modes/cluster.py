@@ -110,35 +110,38 @@ class ClusterManager:
     def _dtw_bucket(self, pairs, tr_a, tr_b, L, D, C):
         import jax.numpy as jnp
 
-        from ddiffpg_tpu.ops.dtw import dtw_batch
+        from ddiffpg_tpu.ops.dtw import dtw_batch_gather
 
-        # pad each REFERENCED trajectory once, then assemble each chunk by a
-        # vectorized gather — the naive per-pair row copy is ~pairs row
-        # copies (10^5-10^6 at a full-cache rebuild) and made the host the
-        # recluster bottleneck; this is ~unique-trajs copies instead
+        # pad each REFERENCED trajectory ONCE into a device-resident stack
+        # and ship only index vectors per chunk: pairs materialized on the
+        # host are ~8 KB each (two padded tracks), and through a remote
+        # device tunnel the transfer — GBs for a full distance-matrix
+        # rebuild — dominates recluster time. Stacks are rounded up to
+        # multiples of 256 rows so the jitted gather kernel sees a bounded
+        # set of shapes (shape-polymorphic calls recompile for minutes on
+        # a remote-compile backend).
         def stack(side, tr):
             ids = sorted({p[side] for p in pairs})
             pos = {i: n for n, i in enumerate(ids)}
-            S = np.zeros((len(ids), L, D), np.float32)
-            ln = np.ones(len(ids), np.int32)
+            n_pad = max(256, -(-len(ids) // 256) * 256)
+            S = np.zeros((n_pad, L, D), np.float32)
+            ln = np.ones(n_pad, np.int32)
             for i in ids:
                 t = tr[i]
                 S[pos[i], : len(t)] = t
                 ln[pos[i]] = len(t)
-            return S, ln, pos
+            return jnp.asarray(S), jnp.asarray(ln), pos
 
         Sa, la_u, pos_a = stack(1, tr_a)
         Sb, lb_u, pos_b = stack(2, tr_b)
-        ia_all = np.fromiter((pos_a[p[1]] for p in pairs), np.int64,
+        ia_all = np.fromiter((pos_a[p[1]] for p in pairs), np.int32,
                              len(pairs))
-        ib_all = np.fromiter((pos_b[p[2]] for p in pairs), np.int64,
+        ib_all = np.fromiter((pos_b[p[2]] for p in pairs), np.int32,
                              len(pairs))
 
         # dispatch a BOUNDED window of chunks ahead so device launches
-        # overlap host-side packing, without keeping every chunk's inputs
-        # alive on-device at once (a full-cache rebuild is ~10^3 chunks x
-        # ~17 MB of inputs — unbounded queueing exhausts HBM)
-        WINDOW = 4
+        # overlap host work without queueing unbounded device memory
+        WINDOW = 8
 
         def resolve(chunk, dev):
             d = np.asarray(dev)
@@ -149,19 +152,12 @@ class ClusterManager:
         pending = []
         for c0 in range(0, len(pairs), C):
             chunk = pairs[c0: c0 + C]
-            ia = ia_all[c0: c0 + C]
-            ib = ib_all[c0: c0 + C]
-            A = np.zeros((C, L, D), np.float32)
-            B = np.zeros((C, L, D), np.float32)
-            la = np.ones(C, np.int32)
-            lb = np.ones(C, np.int32)
-            A[: len(chunk)] = Sa[ia]
-            B[: len(chunk)] = Sb[ib]
-            la[: len(chunk)] = la_u[ia]
-            lb[: len(chunk)] = lb_u[ib]
-            pending.append((chunk, dtw_batch(
-                jnp.asarray(A), jnp.asarray(B),
-                jnp.asarray(la), jnp.asarray(lb))))
+            ia = np.zeros(C, np.int32)
+            ib = np.zeros(C, np.int32)
+            ia[: len(chunk)] = ia_all[c0: c0 + C]
+            ib[: len(chunk)] = ib_all[c0: c0 + C]
+            pending.append((chunk, dtw_batch_gather(
+                Sa, Sb, la_u, lb_u, jnp.asarray(ia), jnp.asarray(ib))))
             if len(pending) >= WINDOW:
                 resolve(*pending.pop(0))
         for chunk, dev in pending:

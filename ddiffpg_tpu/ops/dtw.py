@@ -63,6 +63,19 @@ def dtw_batch(a, b, len_a, len_b):
     return jax.vmap(dtw_pair)(a, b, len_a, len_b)
 
 
+@partial(jax.jit, static_argnums=())
+def dtw_batch_gather(stack_a, stack_b, la_u, lb_u, ia, ib):
+    """Batched DTW with ON-DEVICE pair assembly.
+
+    stack_a/stack_b [N, L, D] hold each unique trajectory once; a chunk of
+    pairs is just index vectors ia, ib [P]. Per-pair host->device transfer
+    drops from ~8 KB (two padded tracks) to 8 bytes — through a remote
+    device tunnel the transfer, not the DP kernel, dominates recluster
+    time (a full distance-matrix rebuild moves GBs when pairs are shipped
+    materialized)."""
+    return jax.vmap(dtw_pair)(stack_a[ia], stack_b[ib], la_u[ia], lb_u[ib])
+
+
 def dtw_numpy(a, b):
     """O(L^2) reference DP in numpy (tests / host fallback)."""
     import numpy as np
