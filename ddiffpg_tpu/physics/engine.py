@@ -365,8 +365,11 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_t = -fric[:, None] * f_n[:, None] * (v_t / vt_norm[:, None]) \
             * scale[:, None]
         v_cn = (v_bl * normal).sum(-1)
+        # +inf sentinel for non-contact probes: a 0 sentinel polluted the
+        # per-body min and kept the support allowance fully open for bodies
+        # whose every live contact was already separating (pump enabler)
         return (f_n[:, None] * normal + f_t, f_n,
-                jnp.where(pen > 0, v_cn, 0.0))
+                jnp.where(pen > 0, v_cn, jnp.inf))
 
     dist_p = pts[:, 2] - rads
     n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (npts, 3))
@@ -395,7 +398,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         imp_pt = imp_pt + f_n.sum(axis=1)
         v_cn = (v_bl[:, None, :] * n_b).sum(-1)
         vmin_pt = jnp.minimum(vmin_pt,
-                              jnp.where(pen > 0, v_cn, 0.0).min(axis=1))
+                              jnp.where(pen > 0, v_cn, jnp.inf).min(axis=1))
 
     # --- per-body world-contact impulse budget -----------------------------
     # The per-probe cap above bounds each probe's substep impulse, but a
@@ -410,15 +413,50 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     # resting-contact support forces untouched. World contacts only —
     # dynamic-geom (furniture) pairs keep the per-probe cap so their
     # equal-and-opposite reactions stay consistent.
+    # Round-3 revision of the allowance: the old form
+    #   2*m_total*g + m_b*(maxrebound + max(-vmin, 0))/dt
+    # let a body that was ALREADY separating (vmin >= 0) earn a fresh
+    # +maxrebound of normal velocity every substep, and handed the full
+    # 2*m_total*g static term to 1-kg leg bodies (~17 m/s of Dv per
+    # substep) — together the pump behind the 0.65 -> 20 m/s single-step
+    # launches seen in eval forensics. Now the support term FADES as the
+    # body separates faster than maxrebound, and the rebound term is
+    # (maxrebound - v_out)+, so total contact thrust can never push a
+    # body past ~maxrebound outgoing. In stance (v ~ 0) the support
+    # allowance is fully open, so standing/walking is untouched.
     m_total = float(np.asarray(m.mass).sum())
     g_mag = float(abs(m.gravity[2]))
-    allow = (2.0 * m_total * g_mag
-             + m_eff * (m.contact_maxrebound
-                        + jnp.maximum(-vmin_pt, 0.0)) / m.dt)
+    support_fade = jnp.clip(1.0 - vmin_pt / m.contact_maxrebound, 0.0, 1.0)
+    allow = (2.0 * m_total * g_mag * support_fade
+             + m_eff * jnp.maximum(m.contact_maxrebound - vmin_pt, 0.0)
+             / m.dt)
     imp_body = jax.ops.segment_sum(imp_pt, body_of_pt, num_segments=m.nb)
     allow_body = jax.ops.segment_max(allow, body_of_pt, num_segments=m.nb)
     s_body = jnp.minimum(1.0, allow_body / jnp.maximum(imp_body, 1e-9))
     total = total * s_body[body_of_pt][:, None]
+
+    # --- global vertical-thrust budget -------------------------------------
+    # The per-body budget cannot see across normals: a body pressed into a
+    # wall (approaching along the wall normal) keeps its allowance open
+    # while its floor contacts thrust it upward, and four stance legs each
+    # holding a 2*m_total*g support allowance can jointly push ~8 g through
+    # the joints into the torso. Meter the SUM of upward (+z) world-contact
+    # force across the whole robot against the COM vertical velocity:
+    # support fades as the robot rises faster than maxrebound, arrest
+    # allowance covers landings. COM vz then can't exceed ~maxrebound from
+    # contact thrust, so wall-vaulting (z > 2 guard) is unreachable while
+    # stance (vz ~ 0) keeps full 2*M*g support.
+    vcom = V[:, 3:] + jnp.cross(V[:, :3], body_pos)          # [nb, 3]
+    mass_v = jnp.asarray(m.mass)
+    vz_com = (mass_v * vcom[:, 2]).sum() / m_total
+    up_fade = jnp.clip(1.0 - vz_com / m.contact_maxrebound, 0.0, 1.0)
+    allow_up = (2.0 * m_total * g_mag * up_fade
+                + m_total * jnp.maximum(m.contact_maxrebound - vz_com, 0.0)
+                / m.dt)
+    f_up = jnp.maximum(total[:, 2], 0.0).sum()
+    s_up = jnp.minimum(1.0, allow_up / jnp.maximum(f_up, 1e-9))
+    total = total.at[:, 2].set(
+        jnp.where(total[:, 2] > 0, total[:, 2] * s_up, total[:, 2]))
 
     # --- probe spheres vs dynamic BOX geoms (drawers, doors, furniture) ---
     F_other = jnp.zeros((m.nb, 6))
@@ -593,6 +631,23 @@ def _substep(m: Model, qpos, qvel, ctrl):
     if len(one_dof):
         qa, da = m.jnt_qposadr[one_dof], m.jnt_dofadr[one_dof]
         qpos_new = qpos_new.at[qa].add(m.dt * qvel_new[da])
+        # inelastic limit stops: project back into range and zero the
+        # outward velocity. The explicit limit SPRING alone is elastic — a
+        # hinge slamming its stop at the qvel clamp (~11 rad/s on
+        # armature 1 = ~50 J) rebounds with its full energy, and the
+        # synchronized thrash flings the torso (MuJoCo's limit constraints
+        # with solref '.02 1' are critically damped, i.e. ~inelastic —
+        # this projection matches that). The spring still shapes the last
+        # substep of approach; projection bounds its overshoot to one
+        # substep of travel.
+        lo_d = jnp.asarray(m.dof_limit_lo)[da]
+        hi_d = jnp.asarray(m.dof_limit_hi)[da]
+        qv = qpos_new[qa]
+        qd = qvel_new[da]
+        qd = jnp.where(qv < lo_d, jnp.maximum(qd, 0.0), qd)
+        qd = jnp.where(qv > hi_d, jnp.minimum(qd, 0.0), qd)
+        qpos_new = qpos_new.at[qa].set(jnp.clip(qv, lo_d, hi_d))
+        qvel_new = qvel_new.at[da].set(qd)
     for i in range(m.nb):
         if m.jnt_type[i] == FREE:
             qa, d = int(m.jnt_qposadr[i]), int(m.jnt_dofadr[i])

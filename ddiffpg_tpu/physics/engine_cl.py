@@ -408,7 +408,8 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     f_t = -fric * f_n * scale / vt_norm
     total = f_n[:, None, :] * n_p + f_t[:, None, :] * v_t
     imp_pt = f_n                                             # [npts, B]
-    vmin_pt = jnp.where(pen > 0, v_bl[:, 2], 0.0)
+    # +inf sentinel for non-contact probes (see engine.py:contact_forces)
+    vmin_pt = jnp.where(pen > 0, v_bl[:, 2], jnp.inf)
 
     # static world: precomputed SDF (grid mazes) or explicit AABB tests
     if m.sdf_dist.size > 0:
@@ -457,7 +458,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         total = total + f_n[:, None, :] * n_s + f_t[:, None, :] * v_t
         imp_pt = imp_pt + f_n
         v_cn = (v_bl * n_s).sum(-2)
-        vmin_pt = jnp.minimum(vmin_pt, jnp.where(pen > 0, v_cn, 0.0))
+        vmin_pt = jnp.minimum(vmin_pt, jnp.where(pen > 0, v_cn, jnp.inf))
     elif m.nsb > 0:
         bmin = jnp.asarray(m.static_box_min)[None, :, :, None]
         bmax = jnp.asarray(m.static_box_max)[None, :, :, None]
@@ -481,7 +482,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         imp_pt = imp_pt + f_n.sum(axis=1)
         v_cn = (v_bl[:, None] * n_b).sum(-2)
         vmin_pt = jnp.minimum(vmin_pt,
-                              jnp.where(pen > 0, v_cn, 0.0).min(axis=1))
+                              jnp.where(pen > 0, v_cn, jnp.inf).min(axis=1))
 
     # per-body world-contact impulse budget: several capped probes on one
     # body still SUM past the per-probe cap (the torso has 9 probes), so a
@@ -490,15 +491,35 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     # within a static-support allowance (2*m_total*g) plus a rebound
     # allowance m_b*(maxrebound - min v_n)/dt. Semantics match
     # engine.py:contact_forces; world contacts only.
+    # support allowance fades as the body separates faster than maxrebound
+    # and the rebound term is (maxrebound - v_out)+ — a separating body can
+    # no longer earn fresh thrust every substep (round-3 catapult fix;
+    # rationale in engine.py:contact_forces)
     m_total = float(np.asarray(m.mass).sum())
     g_mag = float(abs(m.gravity[2]))
-    allow = (2.0 * m_total * g_mag
-             + m_eff * (m.contact_maxrebound
-                        + jnp.maximum(-vmin_pt, 0.0)) / m.dt)
+    support_fade = jnp.clip(1.0 - vmin_pt / m.contact_maxrebound, 0.0, 1.0)
+    allow = (2.0 * m_total * g_mag * support_fade
+             + m_eff * jnp.maximum(m.contact_maxrebound - vmin_pt, 0.0)
+             / m.dt)
     imp_body = jax.ops.segment_sum(imp_pt, body_of_pt, num_segments=m.nb)
     allow_body = jax.ops.segment_max(allow, body_of_pt, num_segments=m.nb)
     s_body = jnp.minimum(1.0, allow_body / jnp.maximum(imp_body, 1e-9))
     total = total * s_body[body_of_pt][:, None, :]
+
+    # global vertical-thrust budget: total upward (+z) contact force across
+    # the robot vs its COM vertical velocity (cross-normal pump fix;
+    # rationale in engine.py:contact_forces)
+    vcom_z = (V[:, 5] + _cross(V[:, :3], body_pos)[:, 2])    # [nb, B]
+    mass_v = jnp.asarray(m.mass)[:, None]
+    vz_com = (mass_v * vcom_z).sum(0) / m_total              # [B]
+    up_fade = jnp.clip(1.0 - vz_com / m.contact_maxrebound, 0.0, 1.0)
+    allow_up = (2.0 * m_total * g_mag * up_fade
+                + m_total * jnp.maximum(m.contact_maxrebound - vz_com, 0.0)
+                / m.dt)
+    f_up = jnp.maximum(total[:, 2], 0.0).sum(0)              # [B]
+    s_up = jnp.minimum(1.0, allow_up / jnp.maximum(f_up, 1e-9))
+    total = total.at[:, 2].set(
+        jnp.where(total[:, 2] > 0, total[:, 2] * s_up[None], total[:, 2]))
 
     # dynamic box geoms (drawers / doors)
     F_other = jnp.zeros((m.nb, 6, B))
@@ -589,6 +610,17 @@ def _substep(m: Model, qpos, qvel, ctrl):
     if len(one_dof):
         qa, da = m.jnt_qposadr[one_dof], m.jnt_dofadr[one_dof]
         qpos_new = qpos_new.at[qa].add(m.dt * qvel_new[da])
+        # inelastic limit stops — projection + outward-velocity zeroing
+        # (see engine.py:_substep; matches MuJoCo's ~critically-damped
+        # limit constraints and stops limit-rebound torso flings)
+        lo_d = jnp.asarray(m.dof_limit_lo)[da][:, None]
+        hi_d = jnp.asarray(m.dof_limit_hi)[da][:, None]
+        qv = qpos_new[qa]
+        qd = qvel_new[da]
+        qd = jnp.where(qv < lo_d, jnp.maximum(qd, 0.0), qd)
+        qd = jnp.where(qv > hi_d, jnp.minimum(qd, 0.0), qd)
+        qpos_new = qpos_new.at[qa].set(jnp.clip(qv, lo_d, hi_d))
+        qvel_new = qvel_new.at[da].set(qd)
     for i in range(m.nb):
         if m.jnt_type[i] == FREE:
             qa, d = int(m.jnt_qposadr[i]), int(m.jnt_dofadr[i])

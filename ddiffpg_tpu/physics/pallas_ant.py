@@ -385,8 +385,11 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             scale = jnp.minimum(1.0, vt / vtol)
             ft = -fric * f_n * scale / vt
             v_cn = vbx * nx + vby * ny + vbz * nz
+            # large sentinel (not 0) for non-contact probes so a body whose
+            # live contacts are all separating sees its allowance fade
+            # (see engine.py:contact_forces, round-3 catapult fix)
             return (f_n * nx + ft * tx, f_n * ny + ft * ty,
-                    f_n * nz + ft * tz, f_n, jnp.where(pen > 0, v_cn, 0.0))
+                    f_n * nz + ft * tz, f_n, jnp.where(pen > 0, v_cn, 1e9))
 
         fx, fy, fz, imp_pt, vmin_pt = contact_force(pz - rad, 0.0, 0.0, 1.0)
         for (bmin, bmax) in boxes:
@@ -446,8 +449,13 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             for r in rows[1:]:
                 imp_b = imp_b + imp_pt[r:r + 1]
                 vmin_b = jnp.minimum(vmin_b, vmin_pt[r:r + 1])
-            allow_b = support_F + mass[b] * (
-                vreb + jnp.maximum(-vmin_b, 0.0)) / dt
+            # support fades as the body separates faster than maxrebound;
+            # rebound allowance is (maxrebound - v_out)+ so a separating
+            # body cannot earn fresh thrust every substep (round-3 fix,
+            # rationale in engine.py:contact_forces)
+            fade_b = jnp.clip(1.0 - vmin_b * inv_vreb, 0.0, 1.0)
+            allow_b = support_F * fade_b + mass[b] * jnp.maximum(
+                vreb - vmin_b, 0.0) / dt
             s_b = jnp.minimum(1.0, allow_b / jnp.maximum(imp_b, 1e-9))
             for r in rows:
                 s_rows[r] = s_b
@@ -455,6 +463,25 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         fx = fx * s_pt
         fy = fy * s_pt
         fz = fz * s_pt
+
+        # global vertical-thrust budget: the per-body budget can't see
+        # across normals (floor + wall contacts on one body keep each
+        # other's allowance open) and stance legs each hold a 2*m_total*g
+        # allowance — meter the SUM of upward force across the robot
+        # against the COM vertical velocity (see engine.py:contact_forces)
+        vz_com = None
+        for b in range(nb):
+            w_b, vo_b = V[b]
+            vb_z = vadd(vo_b, vcross(w_b, pos[b]))[2]
+            vz_com = vb_z * mass[b] if vz_com is None \
+                else vz_com + vb_z * mass[b]
+        vz_com = vz_com * (1.0 / m_total)
+        up_fade = jnp.clip(1.0 - vz_com * inv_vreb, 0.0, 1.0)
+        allow_up = support_F * up_fade + m_total * jnp.maximum(
+            vreb - vz_com, 0.0) / dt
+        f_up = jnp.maximum(fz, 0.0).sum(axis=0, keepdims=True)
+        s_up = jnp.minimum(1.0, allow_up / jnp.maximum(f_up, 1e-9))
+        fz = jnp.where(fz > 0, fz * s_up, fz)
 
         # ---- dynamic BOX geoms (drawers / doors): per-probe OBB test in
         # the box's local frame; equal-and-opposite reaction on the box
@@ -696,7 +723,18 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             for k in range(4):
                 q_new[qa + 3 + k] = qn[k] / norm
         for i in one_dof:
-            q_new[qposadr[i]] = q[qposadr[i]] + dt * qd_new[dofadr[i]]
+            qa_, d_ = qposadr[i], dofadr[i]
+            q_new[qa_] = q[qa_] + dt * qd_new[d_]
+            # inelastic limit stops — projection + outward-velocity zeroing
+            # (see engine.py:_substep; stops limit-rebound torso flings)
+            lo_i, hi_i = lim_lo[d_], lim_hi[d_]
+            if np.isfinite(lo_i) or np.isfinite(hi_i):
+                qv_ = q_new[qa_]
+                qdv = qd_new[d_]
+                qdv = jnp.where(qv_ < lo_i, jnp.maximum(qdv, 0.0), qdv)
+                qdv = jnp.where(qv_ > hi_i, jnp.minimum(qdv, 0.0), qdv)
+                q_new[qa_] = jnp.clip(qv_, lo_i, hi_i)
+                qd_new[d_] = qdv
         return q_new, qd_new
 
     npr = len(probes)
