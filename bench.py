@@ -109,6 +109,17 @@ def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion",
     dt = time.time() - t0
 
     steps_per_sec = num_envs * n_steps * reps / dt
+    # FLOP accounting for the policy (the physics engine adds ~1 MFLOP/step
+    # of small batched 3x3/LDL work on top): K reverse-diffusion steps, each
+    # one DiffusionNet forward = time-MLP (256->1024->256) + trunk
+    # (298->1024->512->256->act), 2*in*out FLOPs per Dense.
+    K, dim = 5, 256
+    cond = env.obs_dim + emb_dim + env.action_dim
+    dims = [(dim, dim * 4), (dim * 4, dim),
+            (dim + cond, 1024), (1024, 512), (512, 256),
+            (256, env.action_dim)]
+    policy_flops = K * sum(2 * i * o for i, o in dims)
+    tflops = steps_per_sec * policy_flops / 1e12
     result = {
         "metric": (f"{'antmaze' if env_name == 'antmaze-v1' else env_name}"
                    f"_env_steps_per_sec@{num_envs}envs_{policy}_policy"),
@@ -119,6 +130,11 @@ def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion",
             "device": str(jax.devices()[0]),
             "compile_s": round(compile_s, 1),
             "steady_state_s_per_ctrl_step": round(dt / (n_steps * reps), 5),
+            "policy_mflop_per_env_step": round(policy_flops / 1e6, 2),
+            "policy_tflops_per_s": round(tflops, 1),
+            "note": ("policy matmuls only, f32 (physics pins f32 — bf16 "
+                     "NaNs the contact Cholesky); physics+reward+reset add "
+                     "~1 MFLOP/env step of non-MXU-shaped small-matrix work"),
         },
     }
     print(json.dumps(result))
@@ -130,7 +146,14 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         kw[k] = int(v) if v.isdigit() else v
-    if kw.pop("mode", None) == "train":
+    mode = kw.pop("mode", None)
+    if mode == "train":
         bench_train(**kw)
-    else:
+    elif mode == "collect":
         main(**kw)
+    else:
+        # plain `python bench.py` puts BOTH headline numbers on the record:
+        # the collect loop (first line = headline) and the full DDiffPG
+        # train iteration (collect + update_times gradient passes)
+        main(**kw)
+        bench_train(num_envs=1024, env=kw.get("env", "antmaze-v1"))

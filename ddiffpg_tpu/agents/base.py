@@ -57,14 +57,22 @@ def maybe_psum(v):
 def update_rms(rms, x):
     """Fold a batch into a RunningMeanStd; under DP the batch moments are
     reduced across shards first so the replicated rms stays bit-identical
-    on every device. Single-chip this equals rs.update exactly."""
+    on every device. Single-chip this equals rs.update exactly.
+
+    Uses central moments + the Chan between-shard correction rather than
+    E[x^2]-E[x]^2: for channels with |mean| >> std the raw-second-moment
+    subtraction cancels catastrophically in f32 and can zero the variance,
+    making normalize() blow obs up by 1/sqrt(eps)."""
     from ddiffpg_tpu.ops import running_stats as rs
 
-    m1 = maybe_pmean(x.mean(axis=0))
-    m2 = maybe_pmean((x * x).mean(axis=0))
-    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    local_mean = x.mean(axis=0)
+    local_var = x.var(axis=0)                      # central, stable
+    mean = maybe_pmean(local_mean)
+    # within-shard variance + between-shard mean spread (equal shard sizes)
+    var = maybe_pmean(local_var) + maybe_pmean(
+        jnp.square(local_mean - mean))
     count = maybe_psum(x.shape[0])
-    return rs.update_from_stats(rms, m1, var, count)
+    return rs.update_from_stats(rms, mean, var, count)
 
 
 def make_optimizer(lr: float, max_grad_norm: Optional[float], weight_decay=True):

@@ -114,6 +114,15 @@ class AgentDDiffPG:
             self._density_reset = jnp.zeros((2,), jnp.int64)
             self._num_free = 1
 
+        if a.obs_norm:
+            import warnings
+
+            warnings.warn(
+                "algo.obs_norm=true with DDiffPG: acting/eval use normalized"
+                " obs but critic/actor updates train on RAW obs (faithful to"
+                " the reference, see _norm_obs) — a train/act distribution"
+                " mismatch that can silently degrade learning.")
+
         self._iter_cache = {}
         self._warmup_jit = jax.jit(self._warmup_impl, donate_argnums=0,
                                    static_argnums=1)

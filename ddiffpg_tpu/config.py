@@ -208,6 +208,23 @@ def preprocess(cfg: Config, if_ddiffpg: bool = True) -> Config:
     else:
         cfg = cfg.override(**{"algo.use_downsampling": True,
                               "max_step": 3_000_000})
+
+    # Dense-reward value support. The sparse presets pin the C51 support at
+    # [0, 5] (cfg/algo/*.yaml:36-37) — with a dense reward (<= 0 by
+    # construction: -distance) every projected target collapses onto the
+    # 0-atom, Q is constant and the actor gradient is ~0 from step 0
+    # (observed: 400k-step Panda run with critic_loss ~2e-7). The reference
+    # never adjusts this either; here the support follows the reward type.
+    # CLI overrides still win (train.py re-applies them after preprocess).
+    dense = ("Dense" in name) or (("maze" in name)
+                                  and cfg.env.reward_type == "dense")
+    if dense:
+        if name.startswith("Panda"):
+            # -|ee-goal| per step, |.| <~ 0.5 m, 100 steps -> V in [-50, 0]
+            cfg = cfg.override(**{"algo.v_min": -50.0, "algo.v_max": 0.0})
+        else:
+            # -d per step, d <~ 25 m, effective horizon 1/(1-gamma) = 100
+            cfg = cfg.override(**{"algo.v_min": -2500.0, "algo.v_max": 0.0})
     return cfg
 
 

@@ -80,13 +80,18 @@ class AntMazeEnv:
         return state, self._obs(state.qpos, state.qvel)
 
     def check_goal(self, xy):
-        """(reached, goal_id, reward) — goal_reaching_env.py:37-48."""
+        """(reached, goal_id, reward) — goal_reaching_env.py:37-48; the
+        dense variant returns -distance to the nearest goal
+        (goal_reaching_env.py:28-35)."""
         d = jnp.linalg.norm(xy[None, :] - self.goal_xy, axis=-1)
         hit = d <= 0.5
         any_hit = hit.any()
         first = jnp.argmax(hit)
         goal_id = jnp.where(any_hit, first + 1, 0).astype(jnp.int32)
-        reward = jnp.where(any_hit, self.goal_reward[first], 0.0)
+        if self.reward_type == "dense":
+            reward = -d.min()
+        else:
+            reward = jnp.where(any_hit, self.goal_reward[first], 0.0)
         return any_hit, goal_id, reward
 
     def step(self, state: EnvState, action):
@@ -142,7 +147,10 @@ class AntMazeEnv:
         reached = hit.any(axis=-1)
         first = jnp.argmax(hit, axis=-1)
         goal_id = jnp.where(reached, first + 1, 0).astype(jnp.int32)
-        reward = jnp.where(reached, self.goal_reward[first], 0.0)
+        if self.reward_type == "dense":
+            reward = -d.min(axis=-1)
+        else:
+            reward = jnp.where(reached, self.goal_reward[first], 0.0)
 
         t = state.t + 1
         truncated = t >= self.max_episode_steps

@@ -123,7 +123,13 @@ class ClusterManager:
         def stack(side, tr):
             ids = sorted({p[side] for p in pairs})
             pos = {i: n for n, i in enumerate(ids)}
-            n_pad = max(256, -(-len(ids) // 256) * 256)
+            # ONE fixed row count (replay capacity rounded up to 256) so the
+            # gather kernel compiles for exactly one stack shape per L
+            # bucket — variable multiples of 256 would give dozens of
+            # distinct shapes over a run, each a minutes-long remote compile
+            # landing mid-training. capacity*L*D*4B is only a few MB.
+            n_pad = max(256, -(-self.capacity // 256) * 256,
+                        -(-len(ids) // 256) * 256)
             S = np.zeros((n_pad, L, D), np.float32)
             ln = np.ones(n_pad, np.int32)
             for i in ids:
@@ -290,6 +296,17 @@ class ClusterManager:
         plot_unsuccess = [tr[s] for s in fail_list]
         plot_unsuccess_clusters = [
             [fail_pos[s] for s in cl] for cl in unsuccess_slots]
+
+        # prune the DTW cache: traj ids are monotonically increasing, so an
+        # evicted id can never be referenced again — without this the cache
+        # leaks ~one entry pair per retired trajectory for the whole run
+        # (the reference's `self.map` leaks the same way,
+        # diffusion_replay.py:194-211)
+        live = {sid[s] for s in np.where(valid)[0]}
+        for s in evict:
+            live.discard(sid[s])
+        self.cache = {k: v for k, v in self.cache.items()
+                      if k[0] in live and k[1] in live}
 
         return ClusterResult(
             num_groups=plan.num_groups, group_mask=group_mask,

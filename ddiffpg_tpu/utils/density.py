@@ -33,14 +33,21 @@ def create_grid(maze_map, resolution: int):
 
 
 def update(grid, xy, maze_size_scaling: float, reset, maze_rows: int):
-    """Scatter-add visits. xy [E, 2] world coords."""
+    """Scatter-add visits. xy [E, 2] world coords.
+
+    Wall cells (init -1) are masked out of the add: a probe penetrating a
+    wall must not be able to push a -1 cell past zero and count as a
+    visited free cell (the reference shares this scatter, common.py:277-282,
+    but MuJoCo keeps the ant out of walls so it never manifests there;
+    without the mask coverage can exceed 1.0)."""
     res = grid.shape[0]
     idx = xy / maze_size_scaling * (res // maze_rows)
     ix = (-idx[:, 1] + reset[0]).astype(jnp.int32)
     iy = (idx[:, 0] + reset[1]).astype(jnp.int32)
     ix = jnp.clip(ix, 0, res - 1)
     iy = jnp.clip(iy, 0, res - 1)
-    return grid.at[ix, iy].add(1)
+    free = (grid[ix, iy] >= 0).astype(grid.dtype)
+    return grid.at[ix, iy].add(free)
 
 
 def coverage(grid, num_free: int):

@@ -93,3 +93,67 @@ class TestDensity:
         assert int((g2 > 0).sum()) == 1
         changed = np.argwhere(np.asarray(g2 > 0))
         assert np.asarray(grid)[changed[0][0], changed[0][1]] == 0
+
+    def test_wall_visits_never_count(self):
+        """Regression: probe penetration can report positions inside walls;
+        repeated hits on a -1 wall cell must not push it past 0 and count
+        as a visited free cell (shipped runs logged coverage 1.025)."""
+        from ddiffpg_tpu.physics.maze import MAZE_v1
+
+        grid, reset, num_free = density.create_grid(MAZE_v1, 255)
+        g = jnp.asarray(grid)
+        wall_xy = jnp.asarray([[0.0, 8.0]] * 5)   # center-top wall block
+        assert np.asarray(grid)[
+            int(reset[0] - 2 * 51), int(reset[1])] == -1
+        for _ in range(3):
+            g = density.update(g, wall_xy, 4.0, jnp.asarray(reset), 5)
+        assert int((g > 0).sum()) == 0
+        # visit every cell (free + wall) many times: coverage stays <= 1
+        ys, xs = np.meshgrid(np.linspace(-10, 10, 120),
+                             np.linspace(-10, 10, 120))
+        all_xy = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
+        for _ in range(2):
+            g = density.update(g, all_xy, 4.0, jnp.asarray(reset), 5)
+        assert float(density.coverage(g, num_free)) <= 1.0 + 1e-9
+
+
+class TestDenseReward:
+    def test_antmaze_dense_reward_is_neg_distance(self):
+        """reward_type is a real argument now (was silently ignored):
+        dense = -distance to the nearest goal, goal_reaching_env.py:28-35."""
+        import jax
+        from ddiffpg_tpu.envs.antmaze import AntMazeEnv
+
+        env = AntMazeEnv("antmaze-v1", reward_type="dense", use_pallas=False)
+        st, obs = env.reset(jax.random.PRNGKey(0))
+        st2, obs2, r, done, info = env.step(st, jnp.zeros(8))
+        d = np.linalg.norm(
+            np.asarray(st2.qpos[:2])[None] - np.asarray(env.goal_xy),
+            axis=-1).min()
+        np.testing.assert_allclose(float(r), -d, rtol=1e-5)
+
+        sparse = AntMazeEnv("antmaze-v1", use_pallas=False)
+        st, _ = sparse.reset(jax.random.PRNGKey(0))
+        _, _, r0, _, _ = sparse.step(st, jnp.zeros(8))
+        assert float(r0) == 0.0
+
+    def test_preprocess_dense_value_support(self):
+        """Regression: the sparse C51 support [0,5] makes any negative-
+        reward task unlearnable (every projected target clips onto the
+        0-atom; observed as a 400k-step dead-critic Panda run)."""
+        from ddiffpg_tpu import config as C
+
+        cfg = C.Config(algo=C.algo_preset("td3"))
+        cfg = cfg.override(**{"env.name": "PandaReachJointsDense-v3"})
+        cfg = C.preprocess(cfg, if_ddiffpg=False)
+        assert cfg.algo.v_min < -10.0 and cfg.algo.v_max == 0.0
+
+        cfg = C.Config(algo=C.algo_preset("td3"))
+        cfg = cfg.override(**{"env.name": "antmaze-v1",
+                              "env.reward_type": "dense"})
+        cfg = C.preprocess(cfg, if_ddiffpg=False)
+        assert cfg.algo.v_min <= -1000.0 and cfg.algo.v_max == 0.0
+
+        # sparse presets untouched
+        cfg = C.preprocess(C.Config(algo=C.algo_preset("ddiffpg")))
+        assert (cfg.algo.v_min, cfg.algo.v_max) == (0.0, 5.0)

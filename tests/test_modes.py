@@ -97,3 +97,42 @@ class TestQScheduler:
         plan = s.update_cluster([[99, 100]])
         assert plan.src_row[1] == 0 and plan.fresh_opt[1]
         assert plan.parent_row[1] == 0
+
+
+class TestClusterCache:
+    def _recluster(self, cm, ids):
+        """Run a recluster over 6 slots carrying the given traj ids."""
+        rng = np.random.RandomState(int(ids[0]) + 1)
+        S, L = 8, 12
+        traj_id = np.full(S, -1, np.int64)
+        traj_id[: len(ids)] = ids
+        length = np.zeros(S, np.int64)
+        length[: len(ids)] = L
+        success = np.zeros(S, np.int64)
+        success[: len(ids)] = 1
+        tracks = np.zeros((S, L, 2), np.float32)
+        # two well-separated bundles so clustering is non-degenerate
+        for k in range(len(ids)):
+            base = 0.0 if k % 2 == 0 else 50.0
+            tracks[k] = base + np.cumsum(rng.randn(L, 2), 0)
+        return cm.recluster(traj_id, length, success, tracks)
+
+    def test_cache_pruned_to_live_ids(self):
+        """Regression: traj ids are monotonic, so cache entries keyed by
+        retired ids are dead weight — over a 5M-step run the unpruned cache
+        leaks millions of entries (reference diffusion_replay.py:194-211
+        has the same leak)."""
+        from ddiffpg_tpu.modes.cluster import ClusterManager
+
+        cm = ClusterManager(capacity=64, max_modes=4, threshold=25.0)
+        sizes = []
+        for gen in range(4):
+            ids = np.arange(6) + gen * 6      # all-new ids every recluster
+            self._recluster(cm, ids)
+            live = set(ids)
+            for a, b in cm.cache:
+                assert a in live and b in live, (a, b, gen)
+            sizes.append(len(cm.cache))
+        # bounded: each generation holds at most all-pairs over 6 live ids
+        # (x2 for symmetric keys), never the cumulative history
+        assert max(sizes) <= 6 * 5 * 2

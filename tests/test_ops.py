@@ -125,6 +125,32 @@ class TestRunningMeanStd:
         z = rs.normalize(state, jnp.asarray(allx, jnp.float32))
         assert abs(float(z.mean())) < 1e-2
 
+    def test_update_rms_large_offset_channels(self):
+        """Regression (advisor r2): E[x^2]-E[x]^2 in f32 cancels
+        catastrophically when |mean| >> std (e.g. an absolute-position obs
+        channel at 1e4 with unit noise), zeroing the variance and making
+        normalize() divide by ~sqrt(eps). The Chan central-moment form
+        must preserve the variance."""
+        from ddiffpg_tpu.agents import base
+
+        rng = np.random.RandomState(0)
+        x = (rng.randn(256, 3) + np.asarray([1e5, -2e5, 0.0])).astype(
+            np.float32)
+        state = rs.RunningMeanStd.create((3,))
+        for _ in range(4):
+            state = base.update_rms(state, jnp.asarray(x))
+
+        # float64 reference of the same fold sequence (prior included)
+        ref = rs.RunningMeanStd(np.zeros(3), np.ones(3), np.asarray(1e-4))
+        for _ in range(4):
+            ref = rs.update_from_stats(
+                ref, x.astype(np.float64).mean(0),
+                x.astype(np.float64).var(0), 256)
+        np.testing.assert_allclose(np.asarray(state.var),
+                                   np.asarray(ref.var), rtol=0.05)
+        z = np.asarray(rs.normalize(state, jnp.asarray(x)))
+        assert np.abs(z - z.mean(0)).max() < 10.0
+
 
 class TestNStep:
     def test_fold_window_early_done(self):

@@ -106,7 +106,18 @@ def main(argv=None):
         if meta.get("light"):
             # light checkpoint: weights/opts/rms restored, replay fresh —
             # refill the buffer and rebuild clusters from new data (the
-            # reference's weights-only resume behaves the same way)
+            # reference's weights-only resume behaves the same way). Host
+            # scalars in meta are independent of the skipped replay, so
+            # restore them: without lin_start/lin_total the linear
+            # explore-ratio schedule re-anchors at the resumed step and
+            # diverges from the original run.
+            if meta.get("last_cluster") is not None and hasattr(
+                    agent, "cluster_manager"):
+                agent.cluster_manager.scheduler.last_cluster = \
+                    meta["last_cluster"]
+            if meta.get("lin_start") is not None:
+                agent._lin_start = meta["lin_start"]
+                agent._lin_total = meta["lin_total"]
             logger.console(f"resumed (light) from {resume}: replay is "
                            f"fresh, rewarming + reclustering")
         else:
