@@ -123,13 +123,20 @@ class ClusterManager:
         def stack(side, tr):
             ids = sorted({p[side] for p in pairs})
             pos = {i: n for n, i in enumerate(ids)}
-            # ONE fixed row count (replay capacity rounded up to 256) so the
-            # gather kernel compiles for exactly one stack shape per L
-            # bucket — variable multiples of 256 would give dozens of
-            # distinct shapes over a run, each a minutes-long remote compile
-            # landing mid-training. capacity*L*D*4B is only a few MB.
-            n_pad = max(256, -(-self.capacity // 256) * 256,
-                        -(-len(ids) // 256) * 256)
+            # TWO fixed row counts per L bucket (256 for small calls,
+            # replay capacity rounded up to 256 for full rebuilds) so the
+            # gather kernel compiles for a bounded shape set — variable
+            # multiples of 256 would give dozens of distinct shapes over a
+            # run, each a minutes-long remote compile landing mid-training.
+            # A single capacity-sized shape is worse: the stacks are
+            # uploaded per CALL, and small calls (unsuccess assignment,
+            # a handful of pairs) would ship capacity*L*D*4B (~17 MB at
+            # 2048x512x2) through the remote tunnel every time.
+            if len(ids) <= 256:
+                n_pad = 256
+            else:
+                n_pad = max(-(-self.capacity // 256) * 256,
+                            -(-len(ids) // 256) * 256)
             S = np.zeros((n_pad, L, D), np.float32)
             ln = np.ones(n_pad, np.int32)
             for i in ids:
@@ -243,19 +250,30 @@ class ClusterManager:
                     evict.extend(drop)
 
         # ---- unsuccessful-trajectory assignment -----------------------------
+        # sample cluster members for every (fail, cluster) pair FIRST, then
+        # batch all uncached DTW needs into ONE device dispatch — per-pair
+        # dispatches re-upload the gather stacks each call, and through a
+        # remote device tunnel that transfer (not the DP kernel) dominates
+        # recluster wall-clock
         unsuccess_slots: List[List[int]] = [[] for _ in clusters_slots]
+        samples: Dict[Tuple[int, int], List[int]] = {}
+        need, seen = [], set()
         for s in fail_slots:
-            best_d, best_c = None, None
             for c, cl in enumerate(clusters_slots):
                 sample = self.rng.sample(cl, min(3, len(cl))) if cl else []
-                if not sample:
-                    continue
-                need = []
+                samples[(int(s), c)] = sample
                 for member in sample:
                     key = (sid[member], sid[int(s)])
-                    if key not in self.cache:
+                    if key not in self.cache and key not in seen:
+                        seen.add(key)
                         need.append((key, member, int(s)))
-                self._dtw_many(need, tr, tr)
+        self._dtw_many(need, tr, tr)
+        for s in fail_slots:
+            best_d, best_c = None, None
+            for c in range(len(clusters_slots)):
+                sample = samples[(int(s), c)]
+                if not sample:
+                    continue
                 dm = np.mean([self.cache[(sid[m], sid[int(s)])]
                               for m in sample])
                 if best_d is None or dm < best_d:

@@ -122,6 +122,16 @@ def main(argv=None):
                            f"fresh, rewarming + reclustering")
         else:
             need_warmup = False
+            # sanitize the restored density grid: checkpoints written before
+            # the wall-cell scatter fix carry wall cells pushed past 0 (the
+            # coverage-1.025 bug) — re-stamp walls so coverage is truthful
+            if hasattr(ts, "density_grid") and hasattr(
+                    agent, "_density_grid0"):
+                import jax.numpy as jnp
+
+                wall = agent._density_grid0 < 0
+                ts = ts._replace(density_grid=jnp.where(
+                    wall, agent._density_grid0, ts.density_grid))
             if hasattr(agent, "num_groups"):
                 agent.num_groups = int(meta.get("num_groups", 1))
                 agent.num_clusters = agent.num_groups - 1
