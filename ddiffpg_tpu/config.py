@@ -225,6 +225,16 @@ def preprocess(cfg: Config, if_ddiffpg: bool = True) -> Config:
         else:
             # -d per step, d <~ 25 m, effective horizon 1/(1-gamma) = 100
             cfg = cfg.override(**{"algo.v_min": -2500.0, "algo.v_max": 0.0})
+
+    if if_ddiffpg and cfg.algo.obs_norm:
+        # Faithful to the reference: DDiffPG acts/evals on normalized obs but
+        # trains critics/actor on RAW obs (reference never normalizes the
+        # update batch). Flag the train/act distribution mismatch loudly.
+        import warnings
+        warnings.warn(
+            "algo.obs_norm=true with DDiffPG: actions/eval use normalized "
+            "observations but updates train on raw observations (reference "
+            "semantics). Learning may silently degrade.", stacklevel=2)
     return cfg
 
 
