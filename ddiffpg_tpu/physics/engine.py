@@ -1,13 +1,19 @@
 """Articulated rigid-body dynamics in generalized coordinates, pure JAX.
 
 Design notes (TPU-first):
-  * All spatial (6D) quantities are expressed at the WORLD ORIGIN
-    ([angular; linear-at-origin] motion vectors). In these coordinates
-    composite inertias simply add and ancestor/subtree accumulations are
-    plain matrix products with static 0/1 masks — so CRBA, velocity and
-    bias propagation are each a handful of batched einsums instead of
-    per-body loops (XLA op-dispatch overhead dominates tiny tensors; the
-    vectorized form cuts ~1000 HLO ops per substep to ~100).
+  * All spatial (6D) quantities are expressed at a SINGLE SHARED REFERENCE
+    POINT — the robot's body centroid, recomputed each substep (the
+    world origin for frame-agnostic callers). Referencing at one shared
+    point means composite inertias simply add; centering it on the robot
+    keeps every intermediate at the robot's own scale, so the f32
+    Cholesky stays well-conditioned anywhere in the world (at the world
+    origin the free-joint rows of M grow like m*r^2 and the solve
+    injects momentum at r ~ 8 m — measured, RESULTS.md round 3).
+    Ancestor/subtree accumulations are plain matrix products with static
+    0/1 masks — so CRBA, velocity and bias propagation are each a handful
+    of batched einsums instead of per-body loops (XLA op-dispatch
+    overhead dominates tiny tensors; the vectorized form cuts ~1000 HLO
+    ops per substep to ~100).
   * Only forward kinematics walks the tree, grouped by (depth, joint type)
     so sibling bodies process as one batched op per level.
   * The root free joint's internal velocity coordinates are
@@ -322,9 +328,17 @@ def _point_box_distance(p, bmin, bmax):
     return dist, normal
 
 
-def contact_forces(m: Model, body_pos, body_quat, V):
+def contact_forces(m: Model, body_pos, body_quat, V, p0=None):
     """Penalty contacts of all probe spheres vs ground plane + static
-    AABBs. Returns per-body external spatial force [nb, 6]."""
+    AABBs. Returns per-body external spatial force [nb, 6].
+
+    `p0` is the reference point of the spatial frame V lives in (the
+    robot-centered frame _substep uses — see the conditioning note there).
+    Geometry (floor/box tests) always runs on ABSOLUTE positions; all
+    velocity and torque arms are taken about p0 so the returned spatial
+    forces match V's frame. p0=None keeps the legacy world-origin frame."""
+    if p0 is None:
+        p0 = jnp.zeros(3)
     gpos, gquat = _geom_world(m, body_pos, body_quat)
     pts, rads, gidx = _sphere_points(m, gpos, gquat)
     npts = pts.shape[0]
@@ -337,14 +351,16 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     k_n = m_eff * omega**2
     c_n = 2.0 * m.contact_dampratio * m_eff * omega
 
+    pts_r = pts - p0
+    bp_r = body_pos - p0
     Vp = V[body_of_pt]
-    v_pt = Vp[:, 3:] + jnp.cross(Vp[:, :3], pts)
+    v_pt = Vp[:, 3:] + jnp.cross(Vp[:, :3], pts_r)
     # body-frame-origin (~COM) linear velocity per probe: the impulse
     # budget below must meter on the BODY's motion, not the probe point's —
     # a spinning body has probes moving down while its COM moves up, and a
     # point-velocity budget lets rotation mint fresh "arrest" allowance
     # every substep (flywheel pumping -> monotone COM thrust -> catapult)
-    v_bl = (V[:, 3:] + jnp.cross(V[:, :3], body_pos))[body_of_pt]
+    v_bl = (V[:, 3:] + jnp.cross(V[:, :3], bp_r))[body_of_pt]
 
     def force_from(dist, normal):
         pen = jnp.maximum(-dist, 0.0)
@@ -446,7 +462,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     # allowance covers landings. COM vz then can't exceed ~maxrebound from
     # contact thrust, so wall-vaulting (z > 2 guard) is unreachable while
     # stance (vz ~ 0) keeps full 2*M*g support.
-    vcom = V[:, 3:] + jnp.cross(V[:, :3], body_pos)          # [nb, 3]
+    vcom = V[:, 3:] + jnp.cross(V[:, :3], bp_r)              # [nb, 3]
     mass_v = jnp.asarray(m.mass)
     vz_com = (mass_v * vcom[:, 2]).sum() / m_total
     up_fade = jnp.clip(1.0 - vz_com / m.contact_maxrebound, 0.0, 1.0)
@@ -475,7 +491,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             # exclude probes that live on the same body as the box
             same = jnp.asarray(body_of_pt == b2)
             pen = jnp.where(same, 0.0, pen)
-            v_box = V[b2, 3:] + jnp.cross(V[b2, :3], pts)
+            v_box = V[b2, 3:] + jnp.cross(V[b2, :3], pts_r)
             v_rel = v_pt - v_box
             v_n = (v_rel * n_w).sum(-1)
             f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
@@ -494,10 +510,10 @@ def contact_forces(m: Model, body_pos, body_quat, V):
             f_vec = f_n[:, None] * n_w + f_t               # on the probes
             total = total + f_vec
             # equal and opposite on the box's body
-            F_other = F_other.at[b2, :3].add(-jnp.cross(pts, f_vec).sum(0))
+            F_other = F_other.at[b2, :3].add(-jnp.cross(pts_r, f_vec).sum(0))
             F_other = F_other.at[b2, 3:].add(-f_vec.sum(0))
 
-    torque = jnp.cross(pts, total)
+    torque = jnp.cross(pts_r, total)
     F = F_other
     F = F.at[body_of_pt, :3].add(torque)
     F = F.at[body_of_pt, 3:].add(total)
@@ -606,11 +622,22 @@ def substep(m: Model, qpos, qvel, ctrl):
 
 def _substep(m: Model, qpos, qvel, ctrl):
     body_pos, body_quat = fk(m, qpos)
-    S = dof_subspaces(m, body_pos, body_quat)
-    u = qvel_to_u(m, qvel, body_pos)
+    # Spatial algebra in a ROBOT-CENTERED frame. At the world origin the
+    # free-joint rows of M carry m*r^2 terms and the origin-referenced
+    # velocities carry ~|w|*r-scale cancellations; in f32 at r ~ 8 m the
+    # Cholesky solution error injects real momentum (measured: +13 kg m/s
+    # in ONE substep at r = 7.4 m — the residual eval torso launches,
+    # RESULTS.md round 3). Shifting the frame to the body centroid bounds
+    # every intermediate by the robot's own scale and makes the dynamics
+    # translation-invariant again; geometry stays absolute inside
+    # contact_forces.
+    p0 = body_pos.mean(axis=0)
+    bp = body_pos - p0
+    S = dof_subspaces(m, bp, body_quat)
+    u = qvel_to_u(m, qvel, bp)
     V = body_velocities(m, S, u)
-    I6 = spatial_inertia(m, body_pos, body_quat)
-    f_ext = contact_forces(m, body_pos, body_quat, V)
+    I6 = spatial_inertia(m, bp, body_quat)
+    f_ext = contact_forces(m, body_pos, body_quat, V, p0=p0)
     tau_bias = bias_forces(m, I6, S, V, u, f_ext)
     tau_act = actuator_torques(m, ctrl, qpos, u)
     tau = tau_act + passive_torques(m, qpos, u) - tau_bias
@@ -619,12 +646,10 @@ def _substep(m: Model, qpos, qvel, ctrl):
 
     u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
     # semi-implicit: integrate positions with the new velocities.
-    # The u-space clamp alone does NOT bound free-joint translation: in the
-    # world-origin parameterization vp = u_lin + w x pos grows with the
-    # body's distance from the origin (a torso spinning at the angular
-    # clamp 6 m out moves at >100 m/s and teleports through walls), so the
-    # physical velocity is clamped as well.
-    qvel_new = jnp.clip(u_to_qvel(m, u_new, body_pos),
+    # u is referenced at the body centroid, so the u-space clamp is now a
+    # near-physical bound; the qvel clamp still guards the w x (pos - p0)
+    # lever arm of outlying bodies.
+    qvel_new = jnp.clip(u_to_qvel(m, u_new, bp),
                         -m.max_qvel, m.max_qvel)
     qpos_new = qpos
     one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]

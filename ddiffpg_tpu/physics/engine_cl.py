@@ -361,8 +361,13 @@ def _point_box_distance(p, bmin, bmax):
     return dist, normal
 
 
-def contact_forces(m: Model, body_pos, body_quat, V):
+def contact_forces(m: Model, body_pos, body_quat, V, p0=None):
+    # p0 [3, B]: reference point of V's spatial frame (robot centroid in
+    # _substep — see engine.py:contact_forces). Geometry stays absolute;
+    # velocity/torque arms are taken about p0.
     B = body_pos.shape[-1]
+    if p0 is None:
+        p0 = jnp.zeros((3, B))
     gpos, gquat = _geom_world(m, body_pos, body_quat)
     gidx, ends = _probe_layout(m)
     npts = len(gidx)
@@ -380,13 +385,15 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     k_n = m_eff * omega**2
     c_n = 2.0 * m.contact_dampratio * m_eff * omega
 
+    pts_r = pts - p0[None]
+    bp_r = body_pos - p0[None]
     Vp = V[body_of_pt]                                       # [npts, 6, B]
-    v_pt = Vp[:, 3:] + _cross(Vp[:, :3], pts)
+    v_pt = Vp[:, 3:] + _cross(Vp[:, :3], pts_r)
     # body (~COM) linear velocity per probe: the impulse budget meters on
     # the BODY's motion, not the probe point's — a point-velocity budget
     # lets rotation mint fresh arrest allowance every substep (flywheel
     # pumping). See engine.py:contact_forces.
-    v_bl = (V[:, 3:] + _cross(V[:, :3], body_pos))[body_of_pt]
+    v_bl = (V[:, 3:] + _cross(V[:, :3], bp_r))[body_of_pt]
 
     # plane z = 0
     dist_p = pts[:, 2] - rads                                # [npts, B]
@@ -509,7 +516,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
     # global vertical-thrust budget: total upward (+z) contact force across
     # the robot vs its COM vertical velocity (cross-normal pump fix;
     # rationale in engine.py:contact_forces)
-    vcom_z = (V[:, 5] + _cross(V[:, :3], body_pos)[:, 2])    # [nb, B]
+    vcom_z = (V[:, 5] + _cross(V[:, :3], bp_r)[:, 2])        # [nb, B]
     mass_v = jnp.asarray(m.mass)[:, None]
     vz_com = (mass_v * vcom_z).sum(0) / m_total              # [B]
     up_fade = jnp.clip(1.0 - vz_com / m.contact_maxrebound, 0.0, 1.0)
@@ -535,7 +542,7 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         same = jnp.asarray(body_of_pt == b2)[:, None]
         pen = jnp.where(same, 0.0, pen)
         v_box = V[b2, 3:][None] + _cross(
-            jnp.broadcast_to(V[b2, :3][None], (npts, 3, B)), pts)
+            jnp.broadcast_to(V[b2, :3][None], (npts, 3, B)), pts_r)
         v_rel = v_pt - v_box
         v_n = (v_rel * n_w).sum(-2)
         f_n = jnp.maximum(k_n * pen - c_n * v_n, 0.0)
@@ -551,10 +558,10 @@ def contact_forces(m: Model, body_pos, body_quat, V):
         f_t = -fric * f_n * scale / vt_norm
         f_vec = f_n[:, None, :] * n_w + f_t[:, None, :] * v_t
         total = total + f_vec
-        F_other = F_other.at[b2, :3].add(-_cross(pts, f_vec).sum(0))
+        F_other = F_other.at[b2, :3].add(-_cross(pts_r, f_vec).sum(0))
         F_other = F_other.at[b2, 3:].add(-f_vec.sum(0))
 
-    torque = _cross(pts, total)
+    torque = _cross(pts_r, total)
     F = F_other
     F = F.at[body_of_pt, :3].add(torque)
     F = F.at[body_of_pt, 3:].add(total)
@@ -589,11 +596,16 @@ def actuator_torques(m: Model, ctrl, qpos, u):
 
 def _substep(m: Model, qpos, qvel, ctrl):
     body_pos, body_quat = fk(m, qpos)
-    S = dof_subspaces(m, body_pos, body_quat)
-    u = qvel_to_u(m, qvel, body_pos)
+    # spatial algebra in the robot-centered frame: f32 at the world origin
+    # injects momentum far from the origin (rationale + measurement in
+    # engine.py:_substep)
+    p0 = body_pos.mean(axis=0)                               # [3, B]
+    bp = body_pos - p0[None]
+    S = dof_subspaces(m, bp, body_quat)
+    u = qvel_to_u(m, qvel, bp)
     V = body_velocities(m, S, u)
-    I6 = spatial_inertia(m, body_pos, body_quat)
-    f_ext = contact_forces(m, body_pos, body_quat, V)
+    I6 = spatial_inertia(m, bp, body_quat)
+    f_ext = contact_forces(m, body_pos, body_quat, V, p0=p0)
     tau_bias = bias_forces(m, I6, S, V, u, f_ext)
     tau_act = actuator_torques(m, ctrl, qpos, u)
     tau = tau_act + passive_torques(m, qpos, u) - tau_bias
@@ -601,9 +613,9 @@ def _substep(m: Model, qpos, qvel, ctrl):
     udot = _chol_solve_envs_last(M, tau)
 
     u_new = jnp.clip(u + m.dt * udot, -m.max_qvel, m.max_qvel)
-    # physical-velocity clamp: vp = u_lin + w x pos is unbounded in u-space
-    # far from the origin (see engine.py substep note)
-    qvel_new = jnp.clip(u_to_qvel(m, u_new, body_pos),
+    # physical-velocity clamp still guards the w x (pos - p0) lever arm of
+    # outlying bodies (see engine.py substep note)
+    qvel_new = jnp.clip(u_to_qvel(m, u_new, bp),
                         -m.max_qvel, m.max_qvel)
     qpos_new = qpos
     one_dof = np.where((m.jnt_type == HINGE) | (m.jnt_type == SLIDE))[0]

@@ -262,7 +262,17 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
                 pos[i] = p0
                 quat[i] = q0
 
-        # ---------------- motion subspaces (world origin coords)
+        # robot-centered spatial frame: world-origin f32 algebra injects
+        # momentum far from the origin (m*r^2 rows in M + |w|*r-scale
+        # cancellations; measured +13 kg m/s in one substep at r=7.4 m —
+        # see engine.py:_substep). All spatial quantities below reference
+        # the body centroid; geometry stays absolute.
+        inv_nb = 1.0 / nb
+        p0 = tuple(sum(pos[i][k] for i in range(nb)) * inv_nb
+                   for k in range(3))
+        posr = [vsub(pos[i], p0) for i in range(nb)]
+
+        # ---------------- motion subspaces (robot-centered coords)
         S = [None] * nv
         for i in frees:
             d = dofadr[i]
@@ -277,7 +287,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         for i in one_dof:
             w = qrot(quat[i], axes[i])
             if jtype[i] == HINGE:
-                S[dofadr[i]] = (w, vcross(pos[i], w))
+                S[dofadr[i]] = (w, vcross(posr[i], w))
             else:
                 S[dofadr[i]] = (tuple([zero] * 3), w)
 
@@ -286,7 +296,8 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         for i in frees:
             d = dofadr[i]
             wroot = (qd[d + 3], qd[d + 4], qd[d + 5])
-            vo = vsub((qd[d], qd[d + 1], qd[d + 2]), vcross(wroot, pos[i]))
+            vo = vsub((qd[d], qd[d + 1], qd[d + 2]),
+                      vcross(wroot, posr[i]))
             u[d], u[d + 1], u[d + 2] = vo
 
         # ---------------- body spatial velocities
@@ -309,7 +320,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         cw = [None] * nb
         for i in range(nb):
             R = qmat(quat[i])
-            c = vadd(pos[i], m3vec(R, com[i]))
+            c = vadd(posr[i], m3vec(R, com[i]))
             cw[i] = c
             RI = m3mul(R, inertia[i])
             Ic = m3mulT(RI, R)      # R I R^T
@@ -345,15 +356,15 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         vbx_l, vby_l, vbz_l = [], [], []
         for b, off, r, fr in probes:
             w, vo_b = V[b]
-            pw = vadd(pos[b], qrot(quat[b], off))
-            vv = vadd(vo_b, vcross(w, pw))
+            pw_r = vadd(posr[b], qrot(quat[b], off))
+            vv = vadd(vo_b, vcross(w, pw_r))
             vx_l.append(vv[0])
             vy_l.append(vv[1])
             vz_l.append(vv[2])
             # body (~COM) velocity: the impulse budget meters on the
             # body's motion, not the probe point's (see
             # engine.py:contact_forces — flywheel pumping)
-            vb = vadd(vo_b, vcross(w, pos[b]))
+            vb = vadd(vo_b, vcross(w, posr[b]))
             vbx_l.append(vb[0])
             vby_l.append(vb[1])
             vbz_l.append(vb[2])
@@ -363,6 +374,9 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         vbx = jnp.concatenate(vbx_l)
         vby = jnp.concatenate(vby_l)
         vbz = jnp.concatenate(vbz_l)
+        pxr = px - p0[0]
+        pyr = py - p0[1]
+        pzr = pz - p0[2]
         rad, fric, k_n, c_n = probe_consts
         # impulse cap scale: m_eff/dt = k_n/(omega^2 dt) — the gate only
         # sees the pre-substep velocity; bound the substep impulse so the
@@ -472,7 +486,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
         vz_com = None
         for b in range(nb):
             w_b, vo_b = V[b]
-            vb_z = vadd(vo_b, vcross(w_b, pos[b]))[2]
+            vb_z = vadd(vo_b, vcross(w_b, posr[b]))[2]
             vz_com = vb_z * mass[b] if vz_com is None \
                 else vz_com + vb_z * mass[b]
         vz_com = vz_com * (1.0 / m_total)
@@ -524,9 +538,9 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             dist = jnp.where(outside, d_out, -d_in) - rad
             # relative velocity: probe minus box-point velocity
             wb, vob = V[b2]
-            vbx = vob[0] + wb[1] * pz - wb[2] * py
-            vby = vob[1] + wb[2] * px - wb[0] * pz
-            vbz = vob[2] + wb[0] * py - wb[1] * px
+            vbx = vob[0] + wb[1] * pzr - wb[2] * pyr
+            vby = vob[1] + wb[2] * pxr - wb[0] * pzr
+            vbz = vob[2] + wb[0] * pyr - wb[1] * pxr
             rvx, rvy, rvz = vx - vbx, vy - vby, vz - vbz
             pen = jnp.maximum(-dist, 0.0)
             v_n = rvx * nx + rvy * ny + rvz * nz
@@ -560,9 +574,9 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             fy = fy + gy
             fz = fz + gz
             # reaction on the box body (sum over probes)
-            n_ox = (py * gz - pz * gy).sum(axis=0, keepdims=True)
-            n_oy = (pz * gx - px * gz).sum(axis=0, keepdims=True)
-            n_oz = (px * gy - py * gx).sum(axis=0, keepdims=True)
+            n_ox = (pyr * gz - pzr * gy).sum(axis=0, keepdims=True)
+            n_oy = (pzr * gx - pxr * gz).sum(axis=0, keepdims=True)
+            n_oz = (pxr * gy - pyr * gx).sum(axis=0, keepdims=True)
             fsx = gx.sum(axis=0, keepdims=True)
             fsy = gy.sum(axis=0, keepdims=True)
             fsz = gz.sum(axis=0, keepdims=True)
@@ -571,11 +585,11 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
                                            (zero - fsx, zero - fsy,
                                             zero - fsz)))
 
-        # accumulate probe forces to bodies as [n_o; f] at world origin
+        # accumulate probe forces to bodies as [n_o; f] about p0
         row = 0
         for b, off, r, fr in probes:
             f = (fx[row:row + 1], fy[row:row + 1], fz[row:row + 1])
-            p = (px[row:row + 1], py[row:row + 1], pz[row:row + 1])
+            p = (pxr[row:row + 1], pyr[row:row + 1], pzr[row:row + 1])
             n_o = vcross(p, f)
             f_ext[b] = sv_add(f_ext[b], (n_o, f))
             row += 1
@@ -702,7 +716,7 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
             d, qa = dofadr[i], qposadr[i]
             w_new = (u_new[d + 3], u_new[d + 4], u_new[d + 5])
             vp_new = vadd((u_new[d], u_new[d + 1], u_new[d + 2]),
-                          vcross(w_new, pos[i]))
+                          vcross(w_new, posr[i]))
             # physical-velocity clamp: vp = u_lin + w x pos is unbounded
             # in u-space far from the origin (see engine.py substep note)
             vp_new = tuple(jnp.clip(vp_new[k], -vmax, vmax)

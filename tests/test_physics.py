@@ -249,3 +249,104 @@ class TestVelocityClamps:
         assert max_up <= m.contact_maxrebound + 0.05
         # and it must come to rest ON the floor, not below it
         assert 0.05 <= float(qpos[2]) <= 0.12
+
+
+class TestFarFromOriginStability:
+    """Regression for the round-3 residual launches: the spatial algebra
+    formerly referenced the WORLD ORIGIN, so at r ~ 8 m the free-joint
+    rows of M carry m*r^2 terms and the f32 Cholesky injects momentum
+    (measured +13 kg m/s in ONE substep). The state below is captured
+    from a real eval rollout (runs/antmaze_v1_r3c, env 15, t=298) that
+    blew up from |vxy| 1.4 to 23 m/s within 11 control steps pre-fix.
+    The robot-centered frame (engine.py:_substep) must keep it bounded."""
+
+    QP = [-5.481694221496582, -2.5992870330810547, 0.500092625617981,
+          0.9525787830352783, -0.08117830008268356, 0.044235583394765854,
+          -0.2899087071418762, 0.5235987901687622, 0.5235987901687622,
+          0.5235987901687622, -1.2217304706573486, 0.5235987901687622,
+          -0.8046130537986755, 0.37590765953063965, 1.1036275625228882]
+    QV = [-0.8750934600830078, -1.3466997146606445, 0.24976640939712524,
+          -0.24573275446891785, -0.21751752495765686, -2.2186524868011475,
+          0.0, 0.0, 0.0, 0.0, 0.0, 2.4140796661376953, 3.993561029434204,
+          1.186004877090454]
+    ACT = [
+        [0.649415, 0.916664, 0.540672, -0.533983, -0.907600, -0.832537,
+         -0.941184, 0.941556],
+        [0.944287, 0.633580, 0.305590, 0.049132, -0.984640, -0.850554,
+         -1.000000, 0.697050],
+        [0.841326, 0.934823, 1.000000, 0.337045, -0.962951, -0.311659,
+         -0.820242, 0.816920],
+        [-0.956792, -0.991837, -0.058971, 0.331585, -0.968427, -0.201019,
+         -0.753929, -0.319225],
+        [-0.914876, -0.934188, -0.325873, -0.515632, -0.956973, -0.762846,
+         0.824866, -0.819914],
+        [-0.103351, -0.807767, -0.494838, 0.826497, 0.766533, 0.992542,
+         0.859579, -0.794723],
+        [0.948710, -0.962560, -0.658926, -0.405222, 1.000000, 0.859891,
+         0.714431, 0.120559],
+        [0.827656, 0.775441, 0.114986, -0.922026, 0.984370, 0.635575,
+         0.908372, 0.858683],
+        [0.990850, 0.958556, 0.785926, 0.865335, 0.989658, -0.592951,
+         0.967026, 0.869396],
+        [0.103378, 0.601040, 1.000000, -0.386693, 0.887465, -0.938120,
+         -0.174436, -0.949629],
+        [0.941373, 0.379627, 0.874113, -0.513002, -0.535004, -0.943248,
+         -0.341342, 0.355413],
+        [0.921831, 0.759122, -0.287065, 0.268935, -0.500123, -0.799875,
+         0.955142, 0.926798],
+        [0.678612, 0.722199, -0.205381, -0.952015, 0.244067, 0.474572,
+         -0.883666, 1.000000],
+        [-0.996598, -0.923599, -0.042245, -0.574357, -0.116409, 0.813202,
+         0.668859, 1.000000]]
+
+    def _replay(self, step_fn, qp, qv):
+        peak = 0.0
+        for ctrl in self.ACT:
+            qp, qv = step_fn(qp, qv, jnp.asarray(ctrl))
+            peak = max(peak, float(jnp.linalg.norm(qv[:2])))
+        return peak, qp, qv
+
+    def test_launch_state_replay_bounded(self):
+        boxes = maze.compile_boxes(maze.MAZES["antmaze-v1"])
+        m = build_ant(static_boxes=boxes, dt=0.01, n_substeps=10)
+        step = jax.jit(lambda a, b, c: engine.step(m, a, b, c))
+        peak, qp, qv = self._replay(step, jnp.asarray(self.QP),
+                                    jnp.asarray(self.QV))
+        # pre-fix: 23.2 m/s. Legitimate ant locomotion stays under ~4.
+        assert peak < 5.0, f"launch regression: |vxy| peaked at {peak:.2f}"
+        assert float(qp[2]) < 1.0
+
+    def test_momentum_conservation_far_from_origin(self):
+        """Per-substep momentum creation must stay at contact/limit-stop
+        scale (pre-fix: +13 kg m/s in one substep at r=7.4 m)."""
+        boxes = maze.compile_boxes(maze.MAZES["antmaze-v1"])
+        m = build_ant(static_boxes=boxes, dt=0.01, n_substeps=10)
+        from ddiffpg_tpu.physics import quat as Q
+        mass = jnp.asarray(m.mass)
+
+        def momentum(qp, qv):
+            body_pos, body_quat = engine.fk(m, qp)
+            p0 = body_pos.mean(axis=0)
+            bp = body_pos - p0
+            S = engine.dof_subspaces(m, bp, body_quat)
+            u = engine.qvel_to_u(m, qv, bp)
+            V = engine.body_velocities(m, S, u)
+            R = Q.to_matrix(body_quat)
+            c = bp + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com))
+            v_com = V[:, 3:] + jnp.cross(V[:, :3], c)
+            return (mass[:, None] * v_com).sum(0)
+
+        qp, qv = jnp.asarray(self.QP), jnp.asarray(self.QV)
+        sub = jax.jit(lambda a, b, c: engine.substep(m, a, b, c))
+        worst = 0.0
+        for ctrl in self.ACT:
+            c = jnp.asarray(ctrl)
+            for _ in range(m.n_substeps):
+                p_before = momentum(qp, qv)
+                qp, qv = sub(qp, qv, c)
+                p_after = momentum(qp, qv)
+                # generous bound: contact + actuator-via-friction + limit
+                # stops can move a few N*dt = O(0.1) kg m/s per substep
+                worst = max(worst, float(
+                    jnp.linalg.norm(p_after - p_before)))
+        assert worst < 1.0, f"momentum injection: {worst:.2f} kg m/s"

@@ -74,6 +74,7 @@ def main(argv):
             st, obs2, rew, done, info = eval_env.step(st, act)
             # obs2 is the PRE-reset observation: z/xy of the terminal state
             out = dict(done=done, succ=info["success"] > 0,
+                       goal_id=info["success"],
                        tout=info["time_outs"], z=obs2[:, 2], xy=obs2[:, :2],
                        vz=obs2[:, 17], hinge=jnp.abs(obs2[:, 21:29]).max(-1))
             return (st, obs2), out
@@ -95,6 +96,13 @@ def main(argv):
     print(f"episodes={n_ep}  goal={goal}  timeout={tout}  z_high={z_hi}  "
           f"z_low={z_lo}  escape={esc}  other={other}")
     print(f"success_rate={goal / max(n_ep, 1):.3f}")
+    # per-goal breakdown (multi-goal mazes: success carries the 1-based
+    # goal id, envs/antmaze.py info["success"]; goal_reaching_env.py:37-48)
+    gids = tr["goal_id"][done & tr["succ"]]
+    n_goals = len(np.asarray(eval_env.env.goal_xy))
+    per = {g: int((gids == g).sum()) for g in range(1, n_goals + 1)}
+    if n_goals > 1:
+        print(f"per-goal successes: {per}")
     z = tr["z"]
     print(f"z: mean={z.mean():.3f} p50={np.median(z):.3f} "
           f"p95={np.percentile(z, 95):.3f} p99={np.percentile(z, 99):.3f} "
