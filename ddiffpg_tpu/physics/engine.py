@@ -584,10 +584,19 @@ def _chol_solve_vmap(axis_size, in_batched, M, b):
 
 # ---------------------------------------------------------------- integrator
 
-def actuator_torques(m: Model, ctrl, qpos=None, u=None):
+def actuator_torques(m: Model, ctrl, qpos=None, u=None, tau_grav=None):
     """Actuator forces. Torque motors: gear * clip(ctrl, -1, 1). Position
-    servos: clip(kp*(ctrl - q) - kd*qdot, +-force) — ctrl is the TARGET
-    angle/position for servo actuators (PyBullet POSITION_CONTROL)."""
+    servos: clip(kp*(ctrl - q) - kd*qdot + tau_grav, +-force) — ctrl is the
+    TARGET angle/position for servo actuators. tau_grav [nv] is the
+    zero-velocity/no-contact bias torque: PyBullet's POSITION_CONTROL motor
+    is a stiff velocity constraint that holds position against gravity
+    regardless of load (pybullet.py:setJointMotorControlArray semantics);
+    a plain explicit PD with kp*delta torque authority sags by
+    tau_gravity/kp, which for delta-target control (panda.py:179-182,
+    target = q + 0.05*action) exceeds the commanded delta on the
+    gravity-loaded shoulder joints — the arm never tracks. Compensating
+    gravity inside the force-limited servo restores tracking while keeping
+    contact compliance (the comp term sees no contact forces)."""
     tau = jnp.zeros(m.nv)
     if not m.nu:
         return tau
@@ -603,6 +612,8 @@ def actuator_torques(m: Model, ctrl, qpos=None, u=None):
         q = qpos[jnp.asarray(qadr)]
         qd = u[dof]
         f_servo = jnp.asarray(m.act_kp) * (ctrl - q) - jnp.asarray(m.act_kd) * qd
+        if tau_grav is not None:
+            f_servo = f_servo + tau_grav[dof]
         f_servo = jnp.clip(f_servo, -jnp.asarray(m.act_force),
                            jnp.asarray(m.act_force))
     else:
@@ -639,7 +650,14 @@ def _substep(m: Model, qpos, qvel, ctrl):
     I6 = spatial_inertia(m, bp, body_quat)
     f_ext = contact_forces(m, body_pos, body_quat, V, p0=p0)
     tau_bias = bias_forces(m, I6, S, V, u, f_ext)
-    tau_act = actuator_torques(m, ctrl, qpos, u)
+    if (m.act_type == 1).any():
+        # gravity compensation for position servos: bias at zero velocity
+        # with no external forces = pure gravity load (see actuator_torques)
+        tau_grav = bias_forces(m, I6, S, jnp.zeros_like(V),
+                               jnp.zeros_like(u), jnp.zeros_like(f_ext))
+    else:
+        tau_grav = None
+    tau_act = actuator_torques(m, ctrl, qpos, u, tau_grav)
     tau = tau_act + passive_torques(m, qpos, u) - tau_bias
     M = crba(m, I6, S)
     udot = chol_solve_small(M, tau)

@@ -570,8 +570,10 @@ def contact_forces(m: Model, body_pos, body_quat, V, p0=None):
 
 # ------------------------------------------------------------- integrator
 
-def actuator_torques(m: Model, ctrl, qpos, u):
-    """ctrl [nu, B]."""
+def actuator_torques(m: Model, ctrl, qpos, u, tau_grav=None):
+    """ctrl [nu, B]. tau_grav [nv, B]: gravity compensation added inside
+    the force-limited servo (semantics + rationale in
+    engine.py:actuator_torques)."""
     B = ctrl.shape[-1]
     tau = jnp.zeros((m.nv, B))
     if not m.nu:
@@ -586,6 +588,8 @@ def actuator_torques(m: Model, ctrl, qpos, u):
         qd = u[dof]
         f_servo = jnp.asarray(m.act_kp)[:, None] * (ctrl - q) \
             - jnp.asarray(m.act_kd)[:, None] * qd
+        if tau_grav is not None:
+            f_servo = f_servo + tau_grav[dof]
         lim = jnp.asarray(m.act_force)[:, None]
         f_servo = jnp.clip(f_servo, -lim, lim)
     else:
@@ -607,7 +611,12 @@ def _substep(m: Model, qpos, qvel, ctrl):
     I6 = spatial_inertia(m, bp, body_quat)
     f_ext = contact_forces(m, body_pos, body_quat, V, p0=p0)
     tau_bias = bias_forces(m, I6, S, V, u, f_ext)
-    tau_act = actuator_torques(m, ctrl, qpos, u)
+    if (m.act_type == 1).any():
+        tau_grav = bias_forces(m, I6, S, jnp.zeros_like(V),
+                               jnp.zeros_like(u), jnp.zeros_like(f_ext))
+    else:
+        tau_grav = None
+    tau_act = actuator_torques(m, ctrl, qpos, u, tau_grav)
     tau = tau_act + passive_torques(m, qpos, u) - tau_bias
     M = crba(m, I6, S)
     udot = _chol_solve_envs_last(M, tau)

@@ -661,12 +661,28 @@ def make_substep_kernel(m: Model, tile: int = 256, n_substeps=None):
                 if M[d][e] is None:
                     M[d][e] = zero
 
+        # ---------------- gravity compensation for servos (engine.py
+        # rationale: zero-velocity/no-contact RNEA; with u = 0 every body
+        # acceleration is a0, so the pass is just subtree sums of I6*a0)
+        if 1 in act_type:
+            fg = [I6vec(I6[i], a0) for i in range(nb)]
+            for i in range(nb - 1, 0, -1):
+                if parent[i] >= 0:
+                    fg[parent[i]] = sv_add(fg[parent[i]], fg[i])
+            tau_grav = [None] * nv
+            for i in range(nb):
+                d0 = dofadr[i]
+                for k in range(ndofs[jtype[i]]):
+                    sv = S[d0 + k]
+                    tau_grav[d0 + k] = (vdot(sv[0], fg[i][0])
+                                        + vdot(sv[1], fg[i][1]))
+
         # ---------------- applied + passive torques
         tau = [zero - damping[d] * u[d] for d in range(nv)]
         for a_i, d in enumerate(act_dof):
             if act_type[a_i] == 1:       # position servo (PD, force-limited)
                 f = act_kp[a_i] * (ctrl_rows[a_i] - q[act_qadr[a_i]]) \
-                    - act_kd[a_i] * u[d]
+                    - act_kd[a_i] * u[d] + tau_grav[d]
                 tau[d] = tau[d] + jnp.clip(f, -act_force[a_i], act_force[a_i])
             else:                        # direct torque motor
                 cc = jnp.clip(ctrl_rows[a_i], -1.0, 1.0)

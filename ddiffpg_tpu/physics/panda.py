@@ -69,8 +69,17 @@ def _rpy_quat(rpy):
     return tuple(mul(mul(qz, qy), qx))
 
 
-def panda_bodies(neutral, has_peg=False, kp=400.0, kd=40.0,
+def panda_bodies(neutral, has_peg=False, kp=20000.0, kd=300.0,
                  finger_force=170.0, block_gripper=False):
+    # kp/kd: PyBullet's POSITION_CONTROL is a stiff velocity-level
+    # constraint capped by maxForce (panda.py:51-52 joint_forces) — the
+    # joint covers a 0.05-rad delta target within one 0.04 s control step
+    # regardless of gravity. An explicit PD needs omega ~ 150 rad/s to
+    # settle that fast; kp=2e4 saturates the per-joint force limit over
+    # most of the travel (force-limit slew, exactly the PyBullet model)
+    # and the limit + kd damping keep it stable at dt=0.002. kp=400 (old)
+    # tracked only ~30% of each commanded delta and sagged under gravity
+    # (see engine.py:actuator_torques).
     """Robot BodySpec chain + actuator list + init hinge angles."""
     bodies = [BodySpec("base", "", pos=BASE_POS,
                        joint=JointSpec(T.FIXED),

@@ -139,3 +139,50 @@ class TestEnvs:
         assert env.task == "DrawerMulti" and env.reward_type == "dense"
         env = make_panda_env("PandaPegInsertionRandom-v3")
         assert env.task == "PegInsertion" and env.random_init_pos
+
+
+class TestServoTracking:
+    """Gravity-compensated stiff servos (engine.py:actuator_torques).
+
+    PyBullet POSITION_CONTROL holds a target against gravity and covers a
+    0.05-rad delta within one 0.04 s control step (force-limit slew).
+    The pre-fix explicit PD (kp=400, no gravity comp) sagged under the
+    shoulder gravity load — commanding +0.05 rad/step on joint 1 moved it
+    -0.0007 rad/step, so delta-target actions (panda.py:179-182 semantics)
+    never tracked and sparse-reward exploration was frozen in a ~6 cm EE
+    box. Both assertions below fail on the pre-fix engine.
+    """
+
+    def test_delta_target_tracks_under_gravity(self):
+        from ddiffpg_tpu.envs import make
+        env = make("PandaReachJoints-v3", num_envs=2, use_pallas=False)
+        st, obs = env.reset(KEY)
+        adr = np.asarray(env.env.meta["arm_qposadr"])
+        act = jnp.zeros((2, env.action_dim)).at[:, 1].set(1.0)
+
+        def body(carry, _):
+            st, obs = carry
+            st, obs, *_ = env.step(st, act)
+            return (st, obs), st.qpos
+        (_, _), qs = jax.lax.scan(body, (st, obs), None, length=40)
+        q1 = np.asarray(qs)[:, 0, :][:, adr][:, 1]
+        per_step = np.diff(q1).mean()
+        # commanded +0.05 rad/step; require >= 80% tracked (pre-fix: -1%)
+        assert per_step > 0.04, per_step
+
+    def test_hold_pose_against_gravity(self):
+        from ddiffpg_tpu.envs import make
+        env = make("PandaReachJoints-v3", num_envs=2, use_pallas=False)
+        st, obs = env.reset(KEY)
+        q0 = np.asarray(st.qpos[0])
+        act = jnp.zeros((2, env.action_dim))
+
+        def body(carry, _):
+            st, obs = carry
+            st, obs, *_ = env.step(st, act)
+            return (st, obs), st.qpos
+        (_, _), qs = jax.lax.scan(body, (st, obs), None, length=50)
+        adr = np.asarray(env.env.meta["arm_qposadr"])
+        drift = np.abs(np.asarray(qs)[-1, 0][adr] - q0[adr])
+        # no sag: every arm joint stays near neutral under zero action
+        assert drift.max() < 0.2, drift
