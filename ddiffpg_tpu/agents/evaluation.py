@@ -25,6 +25,10 @@ def eval_rollout(env, actor_fn, key, actor_args=None):
     k_reset, key = jax.random.split(key)
     env_state, obs = env.reset(k_reset)
     E = env.num_envs
+    # multi-goal envs (antmaze v2+) report WHICH goal in info["success"]
+    # (1-based id, goal_reaching_env.py:37-48); log a per-goal breakdown
+    # so multimodal consolidation is visible in metrics, not just plots
+    n_goals = len(getattr(getattr(env, "env", env), "goal_xy", [0]))
 
     def body(carry, k):
         env_state, obs, cur_ret, cur_len, acc = carry
@@ -34,11 +38,14 @@ def eval_rollout(env, actor_fn, key, actor_args=None):
         cur_ret = cur_ret + reward
         cur_len = cur_len + 1.0
         d = done.astype(bool)
+        gid = info["success"]
         acc = {
             "ret_sum": acc["ret_sum"] + jnp.where(d, cur_ret, 0.0).sum(),
             "len_sum": acc["len_sum"] + jnp.where(d, cur_len, 0.0).sum(),
             "episodes": acc["episodes"] + d.sum(),
-            "successes": acc["successes"] + (info["success"] > 0).sum(),
+            "successes": acc["successes"] + (gid > 0).sum(),
+            "per_goal": acc["per_goal"] + (
+                gid[:, None] == jnp.arange(1, n_goals + 1)[None]).sum(0),
         }
         cur_ret = jnp.where(d, 0.0, cur_ret)
         cur_len = jnp.where(d, 0.0, cur_len)
@@ -46,7 +53,8 @@ def eval_rollout(env, actor_fn, key, actor_args=None):
 
     acc0 = {"ret_sum": 0.0, "len_sum": 0.0,
             "episodes": jnp.asarray(0, jnp.int32),
-            "successes": jnp.asarray(0, jnp.int32)}
+            "successes": jnp.asarray(0, jnp.int32),
+            "per_goal": jnp.zeros(n_goals, jnp.int32)}
     keys = jax.random.split(key, env.max_episode_length)
     (_, _, _, _, acc), xy = jax.lax.scan(
         body, (env_state, obs, jnp.zeros(E), jnp.zeros(E), acc0), keys)
@@ -58,4 +66,7 @@ def eval_rollout(env, actor_fn, key, actor_args=None):
             acc["episodes"] + (acc["episodes"] == 0), 1),
         "eval/episodes": acc["episodes"],
     }
+    if n_goals > 1:
+        for g in range(n_goals):
+            metrics[f"eval/success_goal{g + 1}"] = acc["per_goal"][g] / n
     return metrics, xy
