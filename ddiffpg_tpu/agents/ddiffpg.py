@@ -286,7 +286,8 @@ class AgentDDiffPG:
         g_keys, k_tgt, k_emb2, k_loss = keys[:G], keys[G], keys[G + 1], keys[G + 2]
 
         # --- sample every group; stack to [G, b, ...] -----------------------
-        gbs = [ep.sample_group(ts.replay, g_keys[i], i, b, mix_temp=(i == 0))
+        gbs = [ep.sample_group(ts.replay, g_keys[i], i, b, mix_temp=(i == 0),
+                               success_frac=a.success_bias)
                for i in range(G)]
         gb = jax.tree.map(lambda *xs: jnp.stack(xs), *gbs)
 

@@ -79,6 +79,11 @@ class AlgoConfig:
     num_atoms: int = 51
     # clustering / modes
     cluster_threshold: Optional[float] = None
+    # success_bias > 0 deviates from the reference's uniform
+    # cluster+unsuccess sampling: that fraction of each MODE group's
+    # batch is drawn from its success trajectories only (see
+    # replay/episodic.py:sample_group and RESULTS.md v2 forensics)
+    success_bias: float = 0.0
     use_downsampling: bool = False
     use_embedding: bool = False
     embedding_dim: int = 5

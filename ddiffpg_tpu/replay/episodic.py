@@ -182,8 +182,18 @@ class GroupBatch(NamedTuple):
 
 
 def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
-                 mix_temp: bool) -> GroupBatch:
-    """Uniform sample over the group's transitions (+ temp pool if group 0)."""
+                 mix_temp: bool, success_frac: float = 0.0) -> GroupBatch:
+    """Uniform sample over the group's transitions (+ temp pool if group 0).
+
+    success_frac > 0 (mode groups only) is a DEVIATION from the reference,
+    which samples uniformly over cluster_i U unsuccess_cluster_i
+    (diffusion_replay.py:254-272): that fraction of the batch is drawn
+    from the group's SUCCESS trajectories only. Rationale (RESULTS.md, v2
+    far-mode forensics): a rare mode's union batch is dominated by its
+    assigned failures, so with a near-inert action-gradient operator the
+    actor distills the stall rather than the climb. Falls back to the
+    union when the group has no success transitions yet.
+    """
     mask = buf.group_mask[group] & (buf.length > 0)
     lens = jnp.where(mask, buf.length, 0)              # [S]
     cum = jnp.cumsum(lens)
@@ -191,6 +201,7 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
     total_tmp = buf.tmp_len.sum() if mix_temp else jnp.asarray(0, jnp.int32)
     total = jnp.maximum(total_buf + total_tmp, 1)
 
+    key, k_bias = jax.random.split(key)
     u = jax.random.randint(key, (batch,), 0, total)
     from_buffer = u < jnp.maximum(total_buf, 1)
     # guard against an entirely-empty buffer: route to temp if buffer empty
@@ -203,6 +214,23 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
     prev = jnp.where(slot > 0, cum[slot - 1], 0)
     step = (ub - prev).astype(jnp.int32)
     step = jnp.clip(step, 0, buf.max_len - 1)
+
+    if success_frac > 0.0 and group > 0:
+        k_rows = int(round(batch * success_frac))
+        mask_s = mask & (buf.success > 0)
+        lens_s = jnp.where(mask_s, buf.length, 0)
+        cum_s = jnp.cumsum(lens_s)
+        total_s = cum_s[-1]
+        us = jax.random.randint(k_bias, (batch,), 0, jnp.maximum(total_s, 1))
+        slot_s = jnp.searchsorted(cum_s, us, side="right").astype(jnp.int32)
+        slot_s = jnp.clip(slot_s, 0, buf.capacity - 1)
+        prev_s = jnp.where(slot_s > 0, cum_s[slot_s - 1], 0)
+        step_s = jnp.clip((us - prev_s).astype(jnp.int32), 0,
+                          buf.max_len - 1)
+        use_s = (jnp.arange(batch) < k_rows) & (total_s > 0)
+        slot = jnp.where(use_s, slot_s, slot)
+        step = jnp.where(use_s, step_s, step)
+        from_buffer = from_buffer | use_s
 
     # temp route
     tcum = jnp.cumsum(buf.tmp_len)

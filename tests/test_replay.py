@@ -131,3 +131,39 @@ class TestEpisodic:
         ids = np.sort(np.asarray(buf.traj_id))
         # oldest 4 (ids 0..3) evicted, 8..11 added
         assert ids.min() == 4 and ids.max() == 11
+
+
+class TestSuccessBias:
+    def test_success_frac_prefers_success_slots(self):
+        buf = _mk(capacity=16)
+        # 2 success trajectories (ids 0,1) then 2 failures (succ_val=0)
+        buf = _roll(buf, 3, {2: [1, 3]}, succ_val=2)
+        buf = _roll(buf, 3, {2: [0, 2]}, succ_val=0)
+        # put all stored slots into group 1
+        gm = np.array(buf.group_mask)
+        gm[1] = np.asarray(buf.length) > 0
+        buf = buf._replace(group_mask=jnp.asarray(gm))
+        succ_slots = set(np.where(np.asarray(buf.success) > 0)[0].tolist())
+        assert len(succ_slots) == 2
+
+        gb = ep.sample_group(buf, KEY, 1, 256, mix_temp=False,
+                             success_frac=0.5)
+        in_succ = np.isin(np.asarray(gb.slot), list(succ_slots))
+        # first half forced to success slots; second half uniform over the
+        # union (2 of 4 trajs are successes -> ~50%)
+        assert in_succ[:128].all()
+        assert 0.25 < in_succ[128:].mean() < 0.75
+        assert bool(gb.from_buffer.all())
+
+    def test_success_frac_empty_pool_falls_back(self):
+        buf = _mk(capacity=16)
+        buf = _roll(buf, 3, {2: [0, 1]}, succ_val=0)   # failures only
+        gm = np.array(buf.group_mask)
+        gm[1] = np.asarray(buf.length) > 0
+        buf = buf._replace(group_mask=jnp.asarray(gm))
+        gb = ep.sample_group(buf, KEY, 1, 64, mix_temp=False,
+                             success_frac=0.5)
+        # no success transitions: all rows route through the union sample
+        assert bool(jnp.all(jnp.isfinite(gb.obs)))
+        assert set(np.asarray(gb.slot).tolist()) <= set(
+            np.where(np.asarray(buf.length) > 0)[0].tolist())
