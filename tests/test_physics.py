@@ -350,3 +350,28 @@ class TestFarFromOriginStability:
                 worst = max(worst, float(
                     jnp.linalg.norm(p_after - p_before)))
         assert worst < 1.0, f"momentum injection: {worst:.2f} kg m/s"
+
+
+class TestWallContainment:
+    def test_thrashing_ant_never_leaves_maze(self):
+        """Regression for the wall-escape trajectories in the v2
+        unsuccess-cluster plots (|xy| out to 25-35 m, pre-frame-fix
+        physics): an ant thrashing at full alternating torque against the
+        border wall for 6 s must stay inside the maze bounds (v2 outer
+        wall: |x|,|y| <= 14 m; escapes mean tunneling or solver-injected
+        momentum)."""
+        from ddiffpg_tpu.physics import maze as maze_mod
+        boxes = maze_mod.compile_boxes(maze_mod.MAZES["antmaze-v2"])
+        m = build_ant(static_boxes=boxes, dt=0.01, n_substeps=10)
+        qpos = jnp.asarray(m.init_qpos).at[:2].set(
+            jnp.array([-9.5, 9.0]))            # top-left corner pocket
+        qvel = jnp.asarray(m.init_qvel).at[0].set(-3.0)  # charging the wall
+        step = jax.jit(lambda a, b, c: engine.step(m, a, b, c))
+        key = jax.random.PRNGKey(0)
+        for t in range(120):                   # 12 s of violent input
+            key, k = jax.random.split(key)
+            ctrl = jnp.sign(jax.random.normal(k, (8,)))   # bang-bang torque
+            qpos, qvel = step(qpos, qvel, ctrl)
+            xy = np.abs(np.asarray(qpos[:2]))
+            assert (xy < 14.5).all(), f"escaped at t={t}: {qpos[:2]}"
+        assert float(qpos[2]) > -0.5
