@@ -141,12 +141,36 @@ def main(num_envs: int = 4096, n_steps: int = 64, policy: str = "diffusion",
     return result
 
 
+def _require_device(timeout_s: float = 240.0):
+    """Fail FAST if the TPU tunnel is down. A dead axon relay makes
+    jax.devices() hang forever on the /v1/claim retry loop (observed
+    2026-08-17: >3 h outage); a hung bench blocks the whole driver
+    pipeline. Probe device init in a daemon thread and emit a
+    machine-readable error line instead of hanging."""
+    import threading
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(json.dumps({
+            "metric": "bench_unavailable",
+            "value": 0,
+            "unit": "env_steps/sec",
+            "vs_baseline": 0,
+            "detail": f"device init did not complete within {timeout_s}s "
+                      "(TPU tunnel down?)"}))
+        sys.exit(1)
+
+
 if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         kw[k] = int(v) if v.isdigit() else v
     mode = kw.pop("mode", None)
+    _require_device()
     if mode == "train":
         bench_train(**kw)
     elif mode == "collect":
