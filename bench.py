@@ -176,8 +176,13 @@ if __name__ == "__main__":
     elif mode == "collect":
         main(**kw)
     else:
-        # plain `python bench.py` puts BOTH headline numbers on the record:
-        # the collect loop (first line = headline) and the full DDiffPG
-        # train iteration (collect + update_times gradient passes)
+        # plain `python bench.py` puts ALL FOUR headline numbers on the
+        # record (the driver captures stdout JSON): antmaze collect (first
+        # line = headline) + full DDiffPG train iteration, then the same
+        # pair for manipulation (PandaReachJoints-v3) so the Panda path is
+        # measured, not anecdotal (VERDICT r2 item 6).
         main(**kw)
         bench_train(num_envs=1024, env=kw.get("env", "antmaze-v1"))
+        if "env" not in kw:
+            main(env="PandaReachJoints-v3", **kw)
+            bench_train(num_envs=1024, env="PandaReachJoints-v3")
