@@ -425,6 +425,10 @@ class AgentDDiffPG:
         logs["train/return"] = ts.stats.return_tracker.mean()
         logs["train/episode_length"] = ts.stats.step_tracker.mean()
         logs["train/p"] = jnp.asarray(p)
+        # G is a static trace constant, but logging it per-row makes group
+        # growth visible in metrics.jsonl (its absence blinded the v3/panda
+        # run forensics to WHEN the first success cluster formed)
+        logs["train/num_groups"] = jnp.asarray(float(G))
         if self._maze_map is not None:
             # under DP the per-shard grids are pmean-ed: counts become
             # fractional but (>0) still marks any-shard visitation
@@ -469,7 +473,8 @@ class AgentDDiffPG:
         else:
             raise NotImplementedError(a.exp.type)
         if steps >= a.exp.stop_ratio * self.cfg.max_step:
-            p = 1.0
+            if not (a.exp.hold_until_mode and self.num_clusters == 0):
+                p = 1.0
         return float(p)
 
     # ------------------------------------------------------------- recluster

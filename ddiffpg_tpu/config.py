@@ -48,6 +48,14 @@ class ExpConfig:
     fix_ratio: float = 0.5
     stop_ratio: float = 0.7
     mode_embedding: bool = False
+    # Opt-in deviation from the reference schedule: while NO success mode
+    # exists yet, keep p = 0 (act with the explore embedding) even past
+    # stop_ratio * max_step. The reference forces p = 1.0 there
+    # (ddiffpg.py:135-137) — acting with the zero embedding, a context the
+    # actor has never been trained on when there are no modes, which freezes
+    # exploration (measured: antmaze-v3 coverage plateaued at 0.43 the moment
+    # the override hit at 2.8M steps while still climbing +0.05/300k).
+    hold_until_mode: bool = False
 
 
 @dataclass(frozen=True)

@@ -53,7 +53,8 @@ def main(argv):
     cfg = C.preprocess(cfg, if_ddiffpg=True)
     cfg = cfg.override_strings([f"num_envs={num_envs}"])
 
-    env = make(env_name, num_envs=num_envs, random_init=True)
+    env_kw = {"random_init": True} if "antmaze" in env_name else {}
+    env = make(env_name, num_envs=num_envs, **env_kw)
     agent = make_agent(cfg.algo.name, env, cfg)
     ts = agent.init(jax.random.PRNGKey(0))
     ts, meta = ckpt.load(path, ts)
@@ -61,8 +62,7 @@ def main(argv):
     print(f"loaded {path}: num_groups={G} "
           f"global_step={int(ts.global_step)}")
 
-    eval_env = make(env_name, num_envs=eval_envs, random_init=True,
-                    use_pallas=False)
+    eval_env = make(env_name, num_envs=eval_envs, use_pallas=False, **env_kw)
     E = agent.embed_dim
 
     def actor_with(emb):
@@ -72,6 +72,22 @@ def main(argv):
                 method=DiffusionPolicy.act)
         return fn
 
+    def actor_with_noise(emb):
+        # the TRAINING action path (ddiffpg.py:_env_step): actor + mixed
+        # exploration noise — isolates whether train-time success is
+        # noise-carried rather than policy-carried
+        from ddiffpg_tpu.ops import noise as noise_ops
+
+        base_fn = actor_with(emb)
+
+        def fn(k, obs):
+            ka, kn = jax.random.split(k)
+            act = base_fn(ka, obs)
+            return noise_ops.add_mixed_normal_noise(
+                kn, act, std_min=cfg.algo.noise.std_min,
+                std_max=cfg.algo.noise.std_max, out_bounds=(-1, 1))
+        return fn
+
     conds = [("zero", jnp.zeros(E)), ("explore", ts.embeddings[0])]
     conds += [(f"mode{i}", ts.embeddings[i]) for i in range(1, G)]
     key = jax.random.PRNGKey(int(kw.get("seed", 11)))
@@ -79,6 +95,14 @@ def main(argv):
         key, k = jax.random.split(key)
         m, _ = eval_rollout(eval_env, actor_with(emb), k)
         print(f"  eval[{name:8s}]: success={float(m['eval/success_rate']):.3f} "
+              f"return={float(m['eval/return']):.2f} "
+              f"len={float(m['eval/episode_length']):.0f} "
+              f"episodes={int(m['eval/episodes'])}")
+    for name, emb in conds[:2]:
+        key, k = jax.random.split(key)
+        m, _ = eval_rollout(eval_env, actor_with_noise(emb), k)
+        print(f"  eval[{name + '+nz':8s}]: "
+              f"success={float(m['eval/success_rate']):.3f} "
               f"return={float(m['eval/return']):.2f} "
               f"len={float(m['eval/episode_length']):.0f} "
               f"episodes={int(m['eval/episodes'])}")
