@@ -136,9 +136,11 @@ class AntMazeEnv:
     def step_batched(self, state: EnvState, action):
         from ddiffpg_tpu.physics import engine_cl
 
-        B = action.shape[0]
-        if self._pallas_step is not None and B % self._pallas_tile == 0:
-            qpos, qvel = self._pallas_step(state.qpos, state.qvel, action)
+        if self._pallas_step is not None:
+            from ddiffpg_tpu.envs.base import pallas_step_padded
+            qpos, qvel = pallas_step_padded(
+                self._pallas_step, self._pallas_tile,
+                state.qpos, state.qvel, action)
         else:
             qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel,
                                         action)

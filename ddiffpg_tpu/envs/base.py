@@ -22,6 +22,30 @@ class Transition(NamedTuple):
     info: Dict[str, jnp.ndarray]  # 'success' (int32), 'time_outs' (bool)
 
 
+def pallas_step_padded(pallas_step, tile: int, qpos, qvel, ctrl):
+    """Run the fused Pallas substep kernel at ANY batch size by padding the
+    batch up to the kernel tile with copies of row 0 and slicing back.
+
+    Train envs (256/1024/4096) hit the kernel exactly; eval envs (e.g. 20)
+    previously fell back to the XLA channel-last engine, so on TPU the
+    policy was TRAINED on one integrator and EVALUATED on another. The two
+    agree to ~1e-5 in interpret mode (tests/test_pallas.py) but reach-level
+    manipulation is sensitive to real-hardware numeric differences
+    (runs/panda_sb_r3: train/return 10.0 vs in-run eval 0.00; the same
+    checkpoint evals 0.30 on CPU). Padding keeps ONE dynamics everywhere
+    on TPU at negligible cost (the kernel is lane-parallel; a 20-env eval
+    pays one 256-lane tile)."""
+    B = ctrl.shape[0]
+    pad = (-B) % tile
+    if pad == 0:
+        return pallas_step(qpos, qvel, ctrl)
+    idx = jnp.zeros(pad, jnp.int32)
+    qp, qv = pallas_step(jnp.concatenate([qpos, qpos[idx]], 0),
+                         jnp.concatenate([qvel, qvel[idx]], 0),
+                         jnp.concatenate([ctrl, ctrl[idx]], 0))
+    return qp[:B], qv[:B]
+
+
 class VecEnv:
     """vmap wrapper over a single-env functional environment.
 

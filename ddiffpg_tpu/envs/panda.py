@@ -58,6 +58,15 @@ class PandaTaskEnv:
     # ------------------------------------------------------------------- obs
 
     def _ee_state(self, qpos, qvel):
+        # f32 matmuls: FK/subspace einsums feed the success test, the
+        # reward, AND the policy obs; at the TPU default (bf16 inputs) the
+        # EE estimate picks up mm-to-cm error that train-time (256-env
+        # pallas path) and eval-time never agreed on. Physics itself pins
+        # f32 inside the engines; this pins the obs/reward side.
+        with jax.default_matmul_precision("float32"):
+            return self._ee_state_f32(qpos, qvel)
+
+    def _ee_state_f32(self, qpos, qvel):
         body_pos, body_quat = engine.fk(self.model, qpos)
         p_ee = P.ee_position(self.model, self.meta, body_pos, body_quat)
         S = engine.dof_subspaces(self.model, body_pos, body_quat)
@@ -132,6 +141,10 @@ class PandaTaskEnv:
 
     def _ctrl_from_action(self, qpos, action):
         """action in [-1,1] -> full servo target vector [nu]."""
+        with jax.default_matmul_precision("float32"):  # ee-mode FK/DLS-IK
+            return self._ctrl_from_action_f32(qpos, action)
+
+    def _ctrl_from_action_f32(self, qpos, action):
         action = jnp.clip(action, -1.0, 1.0)
         adr = jnp.asarray(self.meta["arm_qposadr"])
         cur = qpos[adr]
@@ -183,10 +196,12 @@ class PandaTaskEnv:
     def step_batched(self, state: EnvState, action):
         from ddiffpg_tpu.physics import engine_cl
 
-        B = action.shape[0]
         ctrl = jax.vmap(self._ctrl_from_action)(state.qpos, action)
-        if self._pallas_step is not None and B % self._pallas_tile == 0:
-            qpos, qvel = self._pallas_step(state.qpos, state.qvel, ctrl)
+        if self._pallas_step is not None:
+            from ddiffpg_tpu.envs.base import pallas_step_padded
+            qpos, qvel = pallas_step_padded(
+                self._pallas_step, self._pallas_tile,
+                state.qpos, state.qvel, ctrl)
         else:
             qpos, qvel = engine_cl.step(self.model, state.qpos, state.qvel,
                                         ctrl)

@@ -64,3 +64,32 @@ def test_interpret_parity_panda():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                atol=2e-4)
+
+
+def test_padded_batch_parity():
+    """pallas_step_padded runs non-multiple batches (eval envs) through the
+    SAME kernel as training batches: B=20 padded to one 128-lane tile must
+    match engine_cl row-for-row, and the padding rows must not leak."""
+    from ddiffpg_tpu.envs.base import pallas_step_padded
+
+    m = build_ant(static_boxes=maze.compile_boxes(maze.MAZE_v1),
+                  dt=0.01, n_substeps=1)
+    B = 20
+    rng = np.random.RandomState(3)
+    qpos = np.tile(m.init_qpos[None], (B, 1)).astype(np.float32)
+    qpos[:, :2] += rng.uniform(-1, 1, (B, 2))
+    qpos[:, 2] = rng.uniform(0.3, 0.8, B)
+    qvel = rng.uniform(-1, 1, (B, 14)).astype(np.float32)
+    ctrl = rng.uniform(-1, 1, (B, 8)).astype(np.float32)
+
+    ref = engine_cl.step(m, jnp.asarray(qpos), jnp.asarray(qvel),
+                         jnp.asarray(ctrl))
+    with pltpu.force_tpu_interpret_mode():
+        fn = pallas_ant.make_substep_kernel(m, tile=128)
+        got = pallas_step_padded(fn, 128, jnp.asarray(qpos),
+                                 jnp.asarray(qvel), jnp.asarray(ctrl))
+    assert got[0].shape == (B, m.nq) and got[1].shape == (B, m.nv)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=5e-5)

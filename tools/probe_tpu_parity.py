@@ -73,12 +73,15 @@ def main(argv):
                "len": round(float(m["eval/episode_length"]), 1)}
         print(json.dumps(row), flush=True)
 
+    on_tpu = backend != "cpu"
     eval_row(20, False)
-    eval_row(256, True)
+    if on_tpu:                    # Mosaic doesn't target CPU
+        eval_row(20, True)        # padded pallas path (the new eval default)
+        eval_row(256, True)
     eval_row(256, False)
 
     # ---- lockstep dynamics digest: same reset, same policy, both engines
-    for use_pallas in (True, False):
+    for use_pallas in ((True, False) if on_tpu else (False,)):
         e = make(env_name, num_envs=256, use_pallas=use_pallas)
         st, obs = e.reset(jax.random.PRNGKey(3))
         key = jax.random.PRNGKey(5)
