@@ -85,13 +85,14 @@ class AgentDDiffPG:
             self.obs_dim, kind=cfg.intrinsic.type,
             pos_dim=_pos_dim(cfg.env.name), normalize=cfg.intrinsic.normalize,
             pos_enc=cfg.intrinsic.pos_enc, L=cfg.intrinsic.L,
-            warm_up=cfg.intrinsic.warm_up)
+            warm_up=cfg.intrinsic.warm_up, scale=cfg.intrinsic.scale)
 
         self.cluster_manager = ClusterManager(
             capacity=int(a.memory_size), max_modes=a.max_modes,
             threshold=a.cluster_threshold,
             use_downsampling=a.use_downsampling,
-            traj_dim=_pos_dim(cfg.env.name), seed=cfg.seed)
+            traj_dim=_pos_dim(cfg.env.name), seed=cfg.seed,
+            split_by_goal=a.split_by_goal)
         self.num_groups = 1              # host-side static group count
         self.num_clusters = 0
         self.last_plot = None

@@ -92,6 +92,10 @@ class AlgoConfig:
     # batch is drawn from its success trajectories only (see
     # replay/episodic.py:sample_group and RESULTS.md v2 forensics)
     success_bias: float = 0.0
+    # split_by_goal=true deviates from the reference's pure-DTW clustering:
+    # successes that reached different goal ids never share a cluster and
+    # the >max_modes collapse keeps one cluster per goal (modes/cluster.py)
+    split_by_goal: bool = False
     use_downsampling: bool = False
     use_embedding: bool = False
     embedding_dim: int = 5
@@ -112,6 +116,7 @@ class DiffusionConfig:
 class IntrinsicConfig:
     # reference cfg/default.yaml `intrinsic:` block
     type: str = "noveld"         # 'noveld' | 'rnd'
+    scale: float = 0.01          # reference hardcodes 0.01 (ddiffpg.py NovelD)
     normalize: bool = False
     pos_enc: bool = True
     L: int = 10

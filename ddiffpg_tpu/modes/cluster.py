@@ -48,13 +48,21 @@ class ClusterManager:
     def __init__(self, capacity: int, max_modes: int = 10,
                  threshold: Optional[float] = None,
                  use_downsampling: bool = False, traj_dim: int = 2,
-                 seed: int = 0, dtw_max_len: int = 512):
+                 seed: int = 0, dtw_max_len: int = 512,
+                 split_by_goal: bool = False):
         self.capacity = capacity
         self.max_modes = max_modes
         self.threshold = threshold
         self.use_downsampling = use_downsampling
         self.traj_dim = traj_dim
         self.dtw_max_len = dtw_max_len
+        # Opt-in deviation from the reference's pure-DTW clustering
+        # (diffusion_replay.py:116-123): never place successes that reached
+        # DIFFERENT goals in the same cluster, and never collapse across
+        # goals. On multi-goal mazes the dominant goal's trajectory mass
+        # otherwise absorbs or evicts the rare goal's mode (antmaze-v2
+        # forensics, RESULTS.md: goal1 cluster gone by 3.58M steps).
+        self.split_by_goal = split_by_goal
         self.cache: Dict[Tuple[int, int], float] = {}
         self.scheduler = QScheduler(max_groups=max_modes + 1)
         self.rng = pyrandom.Random(seed)
@@ -217,7 +225,26 @@ class ClusterManager:
             Z = linkage_average(D)
             thr = self.threshold if self.threshold is not None else \
                 0.7 * Z[:, 2].max()
-            labels = fcluster_distance(Z, n, thr)
+            if self.split_by_goal:
+                # cluster WITHIN each reached-goal id; Z stays the global
+                # linkage (dendrogram plot only)
+                goal_of = np.asarray([success[s] for s in succ_slots])
+                labels = np.zeros(n, int)
+                base = 0
+                for g in np.unique(goal_of):
+                    idx = np.where(goal_of == g)[0]
+                    if len(idx) == 1:
+                        labels[idx] = base + 1
+                        base += 1
+                        continue
+                    Zg = linkage_average(D[np.ix_(idx, idx)])
+                    thr_g = self.threshold if self.threshold is not None \
+                        else 0.7 * max(Zg[:, 2].max(), 1e-9)
+                    lg = fcluster_distance(Zg, len(idx), thr_g)
+                    labels[idx] = lg + base
+                    base += int(lg.max())
+            else:
+                labels = fcluster_distance(Z, n, thr)
             for c in range(1, labels.max() + 1):
                 members = [int(succ_slots[k]) for k in np.where(labels == c)[0]]
                 clusters_slots.append(members)
@@ -228,11 +255,22 @@ class ClusterManager:
             plot_success = [tr[int(succ_slots[0])]]
             plot_clusters = [[0]]
 
-        # collapse when too fragmented (diffusion_replay.py:120-123)
+        # collapse when too fragmented (diffusion_replay.py:120-123);
+        # with split_by_goal, collapse to ONE cluster PER GOAL first so a
+        # rare goal's mode survives fragmentation of the dominant goal
         if len(clusters_slots) > self.max_modes:
-            clusters_slots = [sorted(
-                s for cl in clusters_slots for s in cl)]
-            plot_clusters = [list(range(n))]
+            pos = {int(s): k for k, s in enumerate(succ_slots)}
+            merged = None
+            if self.split_by_goal:
+                by_goal: Dict[int, List[int]] = {}
+                for cl in clusters_slots:
+                    by_goal.setdefault(int(success[cl[0]]), []).extend(cl)
+                if len(by_goal) <= self.max_modes:
+                    merged = [sorted(v) for _, v in sorted(by_goal.items())]
+            if merged is None:
+                merged = [sorted(s for cl in clusters_slots for s in cl)]
+            clusters_slots = merged
+            plot_clusters = [[pos[s] for s in cl] for cl in clusters_slots]
 
         # scheduler matching runs on PRE-eviction id sets
         clusters_ids = [[sid[s] for s in cl] for cl in clusters_slots]

@@ -114,12 +114,22 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     finishing = episode_end.astype(bool)
     n_fin = finishing.sum()
 
-    # slot choice: free slots first (traj_id == -1), then oldest ids.
+    # slot choice: free slots first (traj_id == -1), then oldest FAILED
+    # trajectories, then oldest successes. Protecting successes from age
+    # eviction matches the reference, which only appends between reclusters
+    # and prunes successes exclusively via the per-cluster balanced eviction
+    # (diffusion_replay.py:125-158) — age-evicting them here silently killed
+    # rare goal modes (antmaze-v2 far goal, RESULTS.md) before a recluster
+    # could ever claim them. The +2^28 offset keeps successes ordered among
+    # themselves by age (traj ids stay far below 2^28 on any real run).
     # Finishing envs claim pool[0:n_fin]; non-finishing envs are parked on
     # DISTINCT later pool slots where they no-op (write their current
     # content back), so the scatter below never has duplicate indices.
     assert buf.capacity >= 2 * E, "episodic capacity must be >= 2 * num_envs"
-    sort_key = jnp.where(buf.traj_id < 0, jnp.int32(-2**30), buf.traj_id)
+    protect = (buf.traj_id >= 0) & (buf.success > 0)
+    sort_key = jnp.where(buf.traj_id < 0, jnp.int32(-2**30),
+                         buf.traj_id
+                         + jnp.where(protect, jnp.int32(2**28), 0))
     pool = jnp.argsort(sort_key)[: 2 * E]              # [2E] candidate slots
     rank_f = jnp.cumsum(finishing) - 1                 # rank among finishers
     rank_nf = jnp.cumsum(~finishing) - 1

@@ -136,3 +136,57 @@ class TestClusterCache:
         # bounded: each generation holds at most all-pairs over 6 live ids
         # (x2 for symmetric keys), never the cumulative history
         assert max(sizes) <= 6 * 5 * 2
+
+
+class TestSplitByGoal:
+    """algo.split_by_goal: goal-stratified clustering (antmaze-v2 fix)."""
+
+    def _setup(self, n_goal2=4, n_goal1=2, threshold=1e6, max_modes=4,
+               split=True):
+        from ddiffpg_tpu.modes.cluster import ClusterManager
+
+        rng = np.random.RandomState(0)
+        S, L = 12, 16
+        n = n_goal2 + n_goal1
+        traj_id = np.full(S, -1, np.int64)
+        traj_id[:n] = np.arange(n)
+        length = np.zeros(S, np.int64)
+        length[:n] = L
+        success = np.zeros(S, np.int64)
+        success[:n_goal2] = 2
+        success[n_goal2:n] = 1
+        tracks = np.zeros((S, L, 2), np.float32)
+        for k in range(n):
+            base = 0.0 if k < n_goal2 else 50.0
+            tracks[k] = base + 0.1 * np.cumsum(rng.randn(L, 2), 0)
+        cm = ClusterManager(capacity=64, max_modes=max_modes,
+                            threshold=threshold, split_by_goal=split)
+        return cm, cm.recluster(traj_id, length, success, tracks), success
+
+    def test_goals_never_share_a_cluster(self):
+        # threshold huge: a global cut would merge everything into ONE
+        # cluster; split_by_goal must still keep goal1 and goal2 apart
+        cm, res, success = self._setup(threshold=1e6, split=True)
+        assert len(res.clusters) == 2
+        for cl in res.clusters:
+            goals = {success[tid] for tid in cl}  # traj_id == slot here
+            assert len(goals) == 1, res.clusters
+
+    def test_global_merge_without_split(self):
+        _, res, _ = self._setup(threshold=1e6, split=False)
+        assert len(res.clusters) == 1
+
+    def test_collapse_keeps_one_cluster_per_goal(self):
+        # threshold tiny: every trajectory its own cluster (6 > max_modes=3)
+        # -> with split_by_goal the collapse keeps one cluster PER GOAL
+        cm, res, success = self._setup(threshold=1e-6, max_modes=3,
+                                       split=True)
+        assert len(res.clusters) == 2
+        sizes = sorted(len(cl) for cl in res.clusters)
+        assert sizes == [2, 4]
+        for cl in res.clusters:
+            assert len({success[tid] for tid in cl}) == 1
+
+    def test_collapse_all_without_split(self):
+        _, res, _ = self._setup(threshold=1e-6, max_modes=3, split=False)
+        assert len(res.clusters) == 1

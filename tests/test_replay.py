@@ -132,6 +132,36 @@ class TestEpisodic:
         # oldest 4 (ids 0..3) evicted, 8..11 added
         assert ids.min() == 4 and ids.max() == 11
 
+    def test_eviction_protects_successes(self):
+        """Regression (antmaze-v2 far-goal forensics, RESULTS.md): rare
+        SUCCESS trajectories must not age out before failures — the
+        reference only prunes successes via the recluster balanced
+        eviction, never by arrival order."""
+        buf = _mk(capacity=8, E=4)
+        # round 1: 4 OLD successes (ids 0..3)
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=1)
+        # round 2: 4 newer failures (ids 4..7) -> buffer full
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0)
+        assert int((buf.length > 0).sum()) == 8
+        # round 3: 4 more failures (ids 8..11) must evict the FAILURES
+        # (ids 4..7), keeping the older successes (ids 0..3)
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0)
+        ids = set(np.asarray(buf.traj_id).tolist())
+        assert {0, 1, 2, 3} <= ids, ids
+        assert ids & {4, 5, 6, 7} == set(), ids
+        succ = np.asarray(buf.success)
+        tid = np.asarray(buf.traj_id)
+        assert all(succ[tid == i] == 1 for i in range(4))
+
+    def test_eviction_success_oldest_when_all_success(self):
+        """When every stored trajectory is a success, eviction falls back
+        to oldest-first among successes."""
+        buf = _mk(capacity=8, E=4)
+        buf = _roll(buf, 2, {0: [0, 1, 2, 3], 1: [0, 1, 2, 3]}, succ_val=2)
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=2)
+        ids = np.sort(np.asarray(buf.traj_id))
+        assert ids.min() == 4 and ids.max() == 11
+
 
 class TestSuccessBias:
     def test_success_frac_prefers_success_slots(self):

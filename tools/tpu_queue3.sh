@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 TPU queue: v2 (split_by_goal fix) -> Panda DrawerMulti -> v3.
+# ONE process may own the TPU at a time (CLAUDE.md); this serializes and
+# archives evidence at every boundary. Kill via pid files only.
+set -u
+cd /root/repo
+
+wait_pid() {
+  local pid
+  pid=$(cat "$1" 2>/dev/null) || return 0
+  [ -z "$pid" ] && return 0
+  while kill -0 "$pid" 2>/dev/null; do sleep 30; done
+}
+
+# ---- job 1: antmaze-v2 with goal-stratified modes + protected successes ----
+nohup python train.py algo=ddiffpg env.name=antmaze-v2 \
+  num_envs=256 max_step=4000000 eval_freq=100 max_time=9000 \
+  run_name=antmaze_v2_r4a seed=7 algo.success_bias=0.7 \
+  algo.split_by_goal=true > /tmp/v2_r4a.log 2>&1 &
+echo $! > /tmp/v2_r4a.pid
+wait_pid /tmp/v2_r4a.pid
+python tools/archive_run.py runs/antmaze_v2_r4a || true
+
+# ---- job 2: Panda DrawerMulti sparse (4 drawers = 4 goal modes) ----
+# stop_ratio=0.35 per the successful Reach recipe (tpu_queue2.sh job 3)
+nohup python train.py algo=ddiffpg env.name=PandaDrawerMultiJoints-v3 \
+  num_envs=256 max_step=2500000 eval_freq=100 max_time=6000 \
+  run_name=panda_drawer_r4 seed=42 algo.success_bias=0.7 \
+  algo.split_by_goal=true algo.exp.stop_ratio=0.35 \
+  > /tmp/drawer_r4.log 2>&1 &
+echo $! > /tmp/drawer_r4.pid
+wait_pid /tmp/drawer_r4.pid
+python tools/archive_run.py runs/panda_drawer_r4 || true
+
+# ---- job 3: antmaze-v3 with hold_until_mode + 6M cap ----
+nohup python train.py algo=ddiffpg env.name=antmaze-v3 \
+  num_envs=256 max_step=6000000 eval_freq=100 max_time=14400 \
+  run_name=antmaze_v3_r4 seed=11 algo.success_bias=0.7 \
+  algo.split_by_goal=true algo.exp.hold_until_mode=true \
+  > /tmp/v3_r4.log 2>&1 &
+echo $! > /tmp/v3_r4.pid
+wait_pid /tmp/v3_r4.pid
+python tools/archive_run.py runs/antmaze_v3_r4 || true
+
+echo "queue3 drained $(date)" > /tmp/tpu_queue3_done
