@@ -492,6 +492,7 @@ class AgentDDiffPG:
         plan = res.plan
         self.num_groups = res.num_groups
         self.num_clusters = res.num_groups - 1
+        self.last_goal_counts = res.goal_counts
         self.last_plot = (res.plot_success, res.plot_clusters, res.Z)
         self.last_unsuccess_plot = (
             (res.plot_unsuccess, res.plot_unsuccess_clusters)

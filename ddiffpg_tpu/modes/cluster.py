@@ -32,6 +32,7 @@ from ddiffpg_tpu.modes.q_scheduler import QScheduler, SchedulerPlan
 @dataclass
 class ClusterResult:
     num_groups: int
+    goal_counts: Dict[int, int]     # replay success-traj count per goal id
     group_mask: np.ndarray          # [G_max, S] bool
     evict_slots: np.ndarray         # [n] slot indices to free
     plan: SchedulerPlan
@@ -364,8 +365,13 @@ class ClusterManager:
         self.cache = {k: v for k, v in self.cache.items()
                       if k[0] in live and k[1] in live}
 
+        goal_ids, goal_n = np.unique(
+            np.asarray([success[s] for s in succ_slots], int),
+            return_counts=True) if len(succ_slots) else ([], [])
         return ClusterResult(
-            num_groups=plan.num_groups, group_mask=group_mask,
+            num_groups=plan.num_groups,
+            goal_counts={int(g): int(c) for g, c in zip(goal_ids, goal_n)},
+            group_mask=group_mask,
             evict_slots=np.asarray(sorted(evict), np.int64), plan=plan,
             clusters=clusters_ids,
             unsuccess_clusters=[[sid[s] for s in cl] for cl in unsuccess_slots],

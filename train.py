@@ -190,7 +190,10 @@ def main(argv=None):
         if iter_t % cfg.eval_freq == 0:
             if is_ddiffpg and iter_t > 0:
                 ts = agent.update_cluster(ts)
-                logger.console(f"recluster -> {agent.num_clusters} modes")
+                gc = getattr(agent, "last_goal_counts", {})
+                logger.console(
+                    f"recluster -> {agent.num_clusters} modes"
+                    + (f" (success trajs per goal: {gc})" if gc else ""))
 
             eval_key, k = jax.random.split(eval_key)
             # stable bound eval_fn + dynamic args: the rollout program
