@@ -498,9 +498,13 @@ def contact_forces(m: Model, body_pos, body_quat, V, p0=None):
             f_n = jnp.where(pen > 0, f_n, 0.0)
             # separation gate: strictly dissipative impacts (types.py)
             f_n = f_n * jnp.clip(1.0 - v_n / m.contact_maxrebound, 0.0, 1.0)
-            # impulse cap (see force_from)
-            f_n = jnp.minimum(
-                f_n, m_eff * (m.contact_maxrebound - v_n) / m.dt)
+            # impulse cap (see force_from). The (.,0) clamp is load-bearing:
+            # without it a probe separating faster than maxrebound with
+            # pen == 0 turns the cap negative and min() injects a spurious
+            # ATTRACTIVE force (measured: 9 N yanked on an untouched drawer
+            # while the arm whipped past; engine_cl/pallas always clamped)
+            f_n = jnp.minimum(f_n, jnp.maximum(
+                m_eff * (m.contact_maxrebound - v_n) / m.dt, 0.0))
             v_t = v_rel - v_n[:, None] * n_w
             vt_norm = jnp.sqrt((v_t**2).sum(-1)
                                + m.friction_vel_tol**2 * 1e-4)
