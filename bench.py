@@ -170,6 +170,8 @@ if __name__ == "__main__":
         k, _, v = a.partition("=")
         kw[k] = int(v) if v.isdigit() else v
     mode = kw.pop("mode", None)
+    from ddiffpg_tpu.utils import compile_cache
+    compile_cache.enable()
     _require_device()
     if mode == "train":
         bench_train(**kw)

@@ -95,6 +95,7 @@ class AgentDDiffPG:
             split_by_goal=a.split_by_goal)
         self.num_groups = 1              # host-side static group count
         self.num_clusters = 0
+        self.last_goal_counts = {}       # goal id -> replay success-traj count
         self.last_plot = None
         self.last_unsuccess_plot = None
 
@@ -112,7 +113,7 @@ class AgentDDiffPG:
         else:
             self._maze_map = None
             self._density_grid0 = jnp.zeros((1, 1, 1), jnp.int32)
-            self._density_reset = jnp.zeros((2,), jnp.int64)
+            self._density_reset = jnp.zeros((2,), jnp.int32)
             self._num_free = 1
 
         if a.obs_norm:
@@ -474,7 +475,14 @@ class AgentDDiffPG:
         else:
             raise NotImplementedError(a.exp.type)
         if steps >= a.exp.stop_ratio * self.cfg.max_step:
-            if not (a.exp.hold_until_mode and self.num_clusters == 0):
+            held = a.exp.hold_until_mode and self.num_clusters == 0
+            # multi-goal hold: keep the schedule's mixed explore/exploit p
+            # (never force 1.0) until successes exist at enough DISTINCT
+            # goals — goal counts refresh host-side at every recluster
+            if a.exp.hold_until_goals > 0 and \
+                    len(self.last_goal_counts) < a.exp.hold_until_goals:
+                held = True
+            if not held:
                 p = 1.0
         return float(p)
 

@@ -56,6 +56,13 @@ class ExpConfig:
     # exploration (measured: antmaze-v3 coverage plateaued at 0.43 the moment
     # the override hit at 2.8M steps while still climbing +0.05/300k).
     hold_until_mode: bool = False
+    # Opt-in deviation for MULTI-goal tasks: don't force p = 1.0 at
+    # stop_ratio until the replay holds >= 1 success trajectory at this many
+    # DISTINCT goals. The reference schedule is goal-blind — on antmaze-v2 it
+    # shuts exploration at stop_ratio*max_step even when only the near goal
+    # has ever been reached, which froze coverage at 0.47 and produced three
+    # far-goal-0.00 negatives (RESULTS.md). 0 = off (reference behavior).
+    hold_until_goals: int = 0
 
 
 @dataclass(frozen=True)

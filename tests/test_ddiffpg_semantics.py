@@ -40,6 +40,20 @@ class TestExpP:
         p = agent.get_exp_p(0)
         assert p <= cfg.algo.exp.fix_ratio + 1e-9
 
+    def test_hold_until_goals(self):
+        agent, cfg = _agent(**{"algo.exp.hold_until_goals": 2})
+        agent.num_groups = 2
+        agent.num_clusters = 1
+        steps = int(cfg.algo.exp.stop_ratio * cfg.max_step) + 1
+        # only one distinct goal has successes -> p stays at the prop value
+        agent.last_goal_counts = {2: 40}
+        p_sched = 1 - (cfg.algo.batch_size // 2 + cfg.algo.batch_size % 2) \
+            / cfg.algo.batch_size
+        assert abs(agent.get_exp_p(steps) - p_sched) < 1e-6
+        # both goals reached -> the stop_ratio override applies again
+        agent.last_goal_counts = {1: 3, 2: 40}
+        assert agent.get_exp_p(steps) == 1.0
+
 
 class TestRecluster:
     def test_embeddings_persist_for_stable_clusters(self):

@@ -43,6 +43,9 @@ def main(argv):
     import jax.numpy as jnp
     import numpy as np
 
+    from ddiffpg_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from ddiffpg_tpu import config as C
     from ddiffpg_tpu.agents import make_agent
     from ddiffpg_tpu.agents.evaluation import eval_rollout
@@ -60,7 +63,11 @@ def main(argv):
     env = make(env_name, num_envs=256)
     agent = make_agent(cfg.algo.name, env, cfg)
     ts = agent.init(jax.random.PRNGKey(0))
-    ts, _ = ckpt.load(path, ts)
+    if path != "random":
+        ts, _ = ckpt.load(path, ts)
+    # path == "random": probe DYNAMICS parity with the random-init policy —
+    # the lockstep digest does not require a trained checkpoint (runs/ is
+    # wiped between rounds; the digest is policy-agnostic)
     args = agent.eval_args(ts)
 
     def eval_row(n, use_pallas):

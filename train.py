@@ -56,6 +56,9 @@ def main(argv=None):
     cfg = C.preprocess(cfg, if_ddiffpg=(algo.lower() == "ddiffpg"))
     cfg = cfg.override_strings(overrides)   # CLI wins over per-env presets
 
+    from ddiffpg_tpu.utils import compile_cache
+    compile_cache.enable()
+
     logger = Logger(cfg.logdir, cfg.run_name, cfg.use_wandb,
                     dataclasses.asdict(cfg))
     logger.console(f"algo={cfg.algo.name} env={cfg.env.name} "
