@@ -85,7 +85,8 @@ class AgentDDiffPG:
             self.obs_dim, kind=cfg.intrinsic.type,
             pos_dim=_pos_dim(cfg.env.name), normalize=cfg.intrinsic.normalize,
             pos_enc=cfg.intrinsic.pos_enc, L=cfg.intrinsic.L,
-            warm_up=cfg.intrinsic.warm_up, scale=cfg.intrinsic.scale)
+            warm_up=cfg.intrinsic.warm_up, scale=cfg.intrinsic.scale,
+            depth_scale=cfg.intrinsic.depth_scale)
 
         self.cluster_manager = ClusterManager(
             capacity=int(a.memory_size), max_modes=a.max_modes,

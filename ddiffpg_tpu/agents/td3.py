@@ -63,7 +63,8 @@ class AgentTD3:
             self.obs_dim, kind=cfg.intrinsic.type,
             pos_dim=_pos_dim(cfg.env.name), normalize=cfg.intrinsic.normalize,
             pos_enc=cfg.intrinsic.pos_enc, L=cfg.intrinsic.L,
-            warm_up=cfg.intrinsic.warm_up, scale=cfg.intrinsic.scale)
+            warm_up=cfg.intrinsic.warm_up, scale=cfg.intrinsic.scale,
+            depth_scale=cfg.intrinsic.depth_scale)
         self._train_iter = jax.jit(self._train_iter_impl, donate_argnums=0)
         self._explore_jit = jax.jit(
             partial(self._explore_steps, random=True), donate_argnums=0,

@@ -124,6 +124,9 @@ class IntrinsicConfig:
     # reference cfg/default.yaml `intrinsic:` block
     type: str = "noveld"         # 'noveld' | 'rnd'
     scale: float = 0.01          # reference hardcodes 0.01 (ddiffpg.py NovelD)
+    # opt-in deviation: NovelD bonus x (1 + depth_scale * ||pos||) — keeps
+    # exploration pressure on deep maze corridors (see intrinsic.py)
+    depth_scale: float = 0.0
     normalize: bool = False
     pos_enc: bool = True
     L: int = 10

@@ -32,7 +32,8 @@ class IntrinsicState(NamedTuple):
 class IntrinsicModule:
     def __init__(self, obs_dim: int, kind: str = "noveld", pos_dim: int = 2,
                  normalize: bool = False, pos_enc: bool = True, L: int = 10,
-                 warm_up: int = 1000, lr: float = 1e-4, scale: float = 0.01):
+                 warm_up: int = 1000, lr: float = 1e-4, scale: float = 0.01,
+                 depth_scale: float = 0.0):
         assert kind in ("noveld", "rnd")
         self.kind = kind
         self.pos_dim = pos_dim          # 2 for antmaze xy, 3 for manipulation
@@ -41,6 +42,12 @@ class IntrinsicModule:
         self.L = L
         self.warm_up = warm_up
         self.scale = scale
+        # Opt-in deviation from the reference's flat 0.01 scale: multiply the
+        # bonus by (1 + depth_scale * ||pos||). On long-corridor mazes the
+        # flat NovelD bonus saturates near spawn before the deep corridors
+        # are covered (antmaze-v3 coverage plateaued at 0.43, RESULTS.md);
+        # a distance prior keeps exploration pressure on the frontier.
+        self.depth_scale = depth_scale
         self.obs_dim = obs_dim
         self.in_dim = obs_dim + (pos_dim * 2 * L if pos_enc else 0)
         self.net = RNDModel()
@@ -88,7 +95,11 @@ class IntrinsicModule:
             nov = jnp.where(warm, rs.normalize(rms, nov), nov)
             nov_next = jnp.where(warm, rs.normalize(rms, nov_next), nov_next)
         intr = nov_next - 0.5 * nov
-        return self.scale * jnp.maximum(intr, 0.0)[:, None], state._replace(rms=rms)
+        r = self.scale * jnp.maximum(intr, 0.0)
+        if self.depth_scale > 0.0:
+            depth = jnp.linalg.norm(next_obs[:, :self.pos_dim], axis=-1)
+            r = r * (1.0 + self.depth_scale * depth)
+        return r[:, None], state._replace(rms=rms)
 
     def update(self, state: IntrinsicState, obs):
         """One RND predictor MSE step on (encoded) obs. Returns

@@ -145,3 +145,21 @@ def test_intrinsic_noveld():
     for _ in range(50):
         st3, loss2, _ = mod.update(st3, obs)
     assert float(loss2) < float(loss)
+
+
+def test_intrinsic_depth_scale():
+    """depth_scale multiplies NovelD by (1 + ds * ||next_pos||) exactly."""
+    from ddiffpg_tpu.intrinsic import IntrinsicModule
+
+    flat = IntrinsicModule(obs_dim=29, kind="noveld", pos_dim=2, L=10)
+    deep = IntrinsicModule(obs_dim=29, kind="noveld", pos_dim=2, L=10,
+                           depth_scale=0.1)
+    st_f, st_d = flat.init(KEY), deep.init(KEY)
+    obs = jax.random.normal(KEY, (16, 29))
+    nobs = obs + 0.1
+    r_f, _ = flat.compute_reward(st_f, obs, nobs)
+    r_d, _ = deep.compute_reward(st_d, obs, nobs)
+    depth = jnp.linalg.norm(nobs[:, :2], axis=-1)[:, None]
+    np.testing.assert_allclose(np.asarray(r_d),
+                               np.asarray(r_f * (1 + 0.1 * depth)), rtol=1e-5)
+    assert float(r_d.min()) >= 0.0
