@@ -197,6 +197,13 @@ def main(argv=None):
                 logger.console(
                     f"recluster -> {agent.num_clusters} modes"
                     + (f" (success trajs per goal: {gc})" if gc else ""))
+                # per-goal replay composition into the metrics stream: the
+                # far-goal forensics (RESULTS.md) needed these counts and
+                # only had console lines to scrape
+                logger.log({f"replay/goal{g}_successes": float(n)
+                            for g, n in gc.items()}
+                           | {"replay/num_modes": float(agent.num_clusters)},
+                           global_steps)
 
             eval_key, k = jax.random.split(eval_key)
             # stable bound eval_fn + dynamic args: the rollout program
