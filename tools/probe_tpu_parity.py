@@ -81,13 +81,11 @@ def main(argv):
         print(json.dumps(row), flush=True)
 
     on_tpu = backend != "cpu"
-    eval_row(20, False)
-    if on_tpu:                    # Mosaic doesn't target CPU
-        eval_row(20, True)        # padded pallas path (the new eval default)
-        eval_row(256, True)
-    eval_row(256, False)
 
-    # ---- lockstep dynamics digest: same reset, same policy, both engines
+    # ---- lockstep dynamics digest: same reset, same policy, both engines.
+    # Printed FIRST: these rows are the engine-parity evidence (VERDICT r3
+    # item 5) and must survive even if an outer timeout cuts the probe
+    # before the slower eval_rollout compiles finish.
     for use_pallas in ((True, False) if on_tpu else (False,)):
         e = make(env_name, num_envs=256, use_pallas=use_pallas)
         st, obs = e.reset(jax.random.PRNGKey(3))
@@ -108,6 +106,12 @@ def main(argv):
                 }
         print(json.dumps({"probe": "lockstep", "backend": backend,
                           "use_pallas": use_pallas, **digest}), flush=True)
+
+    eval_row(20, False)
+    if on_tpu:                    # Mosaic doesn't target CPU
+        eval_row(20, True)        # padded pallas path (the new eval default)
+        eval_row(256, True)
+    eval_row(256, False)
 
 
 if __name__ == "__main__":
