@@ -233,9 +233,13 @@ class AgentDDiffPG:
                 grid[0], ts.obs[:, :2], 4.0, self._density_reset,
                 len(self._maze_map)))
 
+        depth = jnp.linalg.norm(
+            next_obs[:, :_pos_dim(self.cfg.env.name)], axis=-1)
         replay = ep.add(ts.replay, ts.obs, action,
                         reward * self.cfg.algo.reward_scale, next_obs,
-                        done_b, done.astype(bool), info["success"])
+                        done_b, done.astype(bool), info["success"],
+                        depth=depth,
+                        frontier_keep=self.cfg.algo.frontier_keep)
 
         return ts._replace(
             env_state=env_state, obs=next_obs, replay=replay, stats=stats,
@@ -290,7 +294,9 @@ class AgentDDiffPG:
 
         # --- sample every group; stack to [G, b, ...] -----------------------
         gbs = [ep.sample_group(ts.replay, g_keys[i], i, b, mix_temp=(i == 0),
-                               success_frac=a.success_bias)
+                               success_frac=a.success_bias,
+                               frontier_frac=a.frontier_frac,
+                               frontier_keep=a.frontier_keep)
                for i in range(G)]
         gb = jax.tree.map(lambda *xs: jnp.stack(xs), *gbs)
 
@@ -432,6 +438,10 @@ class AgentDDiffPG:
         # growth visible in metrics.jsonl (its absence blinded the v3/panda
         # run forensics to WHEN the first success cluster formed)
         logs["train/num_groups"] = jnp.asarray(float(G))
+        # deepest failure on record — the explore frontier's progress bar
+        logs["train/frontier_depth"] = jnp.where(
+            (ts.replay.traj_id >= 0) & (ts.replay.success == 0),
+            ts.replay.frontier, 0.0).max()
         if self._maze_map is not None:
             # under DP the per-shard grids are pmean-ed: counts become
             # fractional but (>0) still marks any-shard visitation

@@ -103,6 +103,17 @@ class AlgoConfig:
     # successes that reached different goal ids never share a cluster and
     # the >max_modes collapse keeps one cluster per goal (modes/cluster.py)
     split_by_goal: bool = False
+    # frontier_keep > 0 deviates from the reference's pure age eviction of
+    # failures: the K deepest unsuccessful trajectories (max ||pos|| over
+    # the episode) are protected from age eviction alongside successes, and
+    # become the target set for frontier_frac. Rationale (RESULTS.md, v2
+    # seed-42 forensics): corridor ventures were 0.2% of the buffer and
+    # aged out before the explore critic could learn from them.
+    frontier_keep: int = 0
+    # frontier_frac > 0: that fraction of the EXPLORE group's batch is
+    # drawn from the protected frontier trajectories only (mirrors
+    # success_bias, which serves the mode groups).
+    frontier_frac: float = 0.0
     use_downsampling: bool = False
     use_embedding: bool = False
     embedding_dim: int = 5

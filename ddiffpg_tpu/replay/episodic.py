@@ -45,6 +45,7 @@ class EpisodicReplay(NamedTuple):
     length: jnp.ndarray         # [S] int32 (0 = empty)
     success: jnp.ndarray        # [S] int32 goal id (0 = failure)
     traj_id: jnp.ndarray        # [S] int32 (-1 = empty)
+    frontier: jnp.ndarray       # [S] f32 max ||pos|| over the episode
     next_id: jnp.ndarray        # [1] int32 (shape-1 so it shards per-device)
     # per-group machinery
     group_mask: jnp.ndarray     # [G, S] bool
@@ -55,6 +56,7 @@ class EpisodicReplay(NamedTuple):
     tmp_reward: jnp.ndarray     # [E, L]
     tmp_done: jnp.ndarray       # [E, L] bool
     tmp_len: jnp.ndarray        # [E] int32 (steps already stored)
+    tmp_frontier: jnp.ndarray   # [E] f32 running max ||pos|| this episode
 
     @staticmethod
     def create(capacity: int, max_len: int, num_envs: int, obs_dim: int,
@@ -68,6 +70,7 @@ class EpisodicReplay(NamedTuple):
             length=jnp.zeros((S,), jnp.int32),
             success=jnp.zeros((S,), jnp.int32),
             traj_id=jnp.full((S,), -1, jnp.int32),
+            frontier=jnp.zeros((S,)),
             next_id=jnp.zeros((1,), jnp.int32),
             group_mask=jnp.zeros((G, S), bool).at[0].set(True),
             target_action=jnp.zeros((G, S, L, action_dim)),
@@ -76,6 +79,7 @@ class EpisodicReplay(NamedTuple):
             tmp_reward=jnp.zeros((E, L)),
             tmp_done=jnp.zeros((E, L), bool),
             tmp_len=jnp.zeros((E,), jnp.int32),
+            tmp_frontier=jnp.zeros((E,)),
         )
 
     @property
@@ -91,13 +95,29 @@ class EpisodicReplay(NamedTuple):
         return self.group_mask.shape[0]
 
 
+def frontier_mask(buf: EpisodicReplay, keep: int) -> jnp.ndarray:
+    """[S] bool: the `keep` deepest valid UNSUCCESSFUL trajectories by
+    stored frontier score (ties may admit a few extra). Empty when keep=0."""
+    if keep <= 0:
+        return jnp.zeros((buf.capacity,), bool)
+    cand = (buf.traj_id >= 0) & (buf.success == 0) & (buf.frontier > 0.0)
+    score = jnp.where(cand, buf.frontier, -jnp.inf)
+    kth = jnp.sort(score)[::-1][min(keep, buf.capacity) - 1]
+    return cand & (score >= kth)
+
+
 def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
-        episode_end, success) -> EpisodicReplay:
+        episode_end, success, depth=None,
+        frontier_keep: int = 0) -> EpisodicReplay:
     """Record one vector-env transition; flush finished episodes to slots.
 
     obs/next_obs [E, D], action [E, A], reward [E], done_bootstrap [E]
     (true termination for TD bootstrapping), episode_end [E] (terminated or
     truncated -> flush), success [E] int32 goal id at this step.
+
+    depth [E] (optional): per-env ||pos|| of next_obs; its episode max is
+    stored as the trajectory's frontier score. frontier_keep > 0 protects
+    the K deepest failures from age eviction (see AlgoConfig.frontier_keep).
     """
     E = obs.shape[0]
     t = buf.tmp_len                                   # [E] current step index
@@ -108,6 +128,9 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     tmp_action = buf.tmp_action.at[env_idx, t].set(action)
     tmp_reward = buf.tmp_reward.at[env_idx, t].set(reward)
     tmp_done = buf.tmp_done.at[env_idx, t].set(done_bootstrap.astype(bool))
+    tmp_frontier = buf.tmp_frontier
+    if depth is not None:
+        tmp_frontier = jnp.maximum(tmp_frontier, depth)
     new_len = t + 1
 
     # ---- flush finished envs into trajectory slots -------------------------
@@ -127,6 +150,13 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     # content back), so the scatter below never has duplicate indices.
     assert buf.capacity >= 2 * E, "episodic capacity must be >= 2 * num_envs"
     protect = (buf.traj_id >= 0) & (buf.success > 0)
+    if frontier_keep > 0:
+        # the K deepest failures are as precious as successes: they are the
+        # only data the explore critic has about the frontier. Protection is
+        # an ordering preference, not absolute — the pool below still takes
+        # the 2E lowest keys, so a buffer of all-protected slots evicts its
+        # oldest protected members rather than deadlocking.
+        protect = protect | frontier_mask(buf, frontier_keep)
     sort_key = jnp.where(buf.traj_id < 0, jnp.int32(-2**30),
                          buf.traj_id
                          + jnp.where(protect, jnp.int32(2**28), 0))
@@ -152,6 +182,7 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     len_s = scatter_rows(buf.length, new_len)
     suc_s = scatter_rows(buf.success, success.astype(jnp.int32))
     tid_s = scatter_rows(buf.traj_id, new_ids)
+    fro_s = scatter_rows(buf.frontier, tmp_frontier)
 
     # group 0 ("all trajectories") immediately includes fresh slots; other
     # groups drop any slot that was overwritten
@@ -171,11 +202,13 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
         finishing.reshape((-1,) + (1,) * (x.ndim - 1)), jnp.zeros_like(x), x)
     return buf._replace(
         obs=obs_s, action=act_s, reward=rew_s, done=don_s, length=len_s,
-        success=suc_s, traj_id=tid_s, next_id=buf.next_id + n_fin,
+        success=suc_s, traj_id=tid_s, frontier=fro_s,
+        next_id=buf.next_id + n_fin,
         group_mask=gmask, target_action=ta,
         tmp_obs=zero(tmp_obs), tmp_action=zero(tmp_action),
         tmp_reward=zero(tmp_reward), tmp_done=zero(tmp_done),
         tmp_len=jnp.where(finishing, 0, new_len),
+        tmp_frontier=jnp.where(finishing, 0.0, tmp_frontier),
     )
 
 
@@ -192,7 +225,9 @@ class GroupBatch(NamedTuple):
 
 
 def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
-                 mix_temp: bool, success_frac: float = 0.0) -> GroupBatch:
+                 mix_temp: bool, success_frac: float = 0.0,
+                 frontier_frac: float = 0.0,
+                 frontier_keep: int = 0) -> GroupBatch:
     """Uniform sample over the group's transitions (+ temp pool if group 0).
 
     success_frac > 0 (mode groups only) is a DEVIATION from the reference,
@@ -203,6 +238,12 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
     assigned failures, so with a near-inert action-gradient operator the
     actor distills the stall rather than the climb. Falls back to the
     union when the group has no success transitions yet.
+
+    frontier_frac > 0 (explore group only) is the failure-side twin: that
+    fraction of the batch is drawn from the `frontier_keep` deepest failed
+    trajectories, so the explore critic actually trains on frontier data
+    (uniformly it is <1% of the buffer — RESULTS.md v2 seed-42 forensics).
+    Falls back to uniform while no frontier trajectories exist.
     """
     mask = buf.group_mask[group] & (buf.length > 0)
     lens = jnp.where(mask, buf.length, 0)              # [S]
@@ -211,7 +252,7 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
     total_tmp = buf.tmp_len.sum() if mix_temp else jnp.asarray(0, jnp.int32)
     total = jnp.maximum(total_buf + total_tmp, 1)
 
-    key, k_bias = jax.random.split(key)
+    key, k_bias, k_front = jax.random.split(key, 3)
     u = jax.random.randint(key, (batch,), 0, total)
     from_buffer = u < jnp.maximum(total_buf, 1)
     # guard against an entirely-empty buffer: route to temp if buffer empty
@@ -241,6 +282,25 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
         slot = jnp.where(use_s, slot_s, slot)
         step = jnp.where(use_s, step_s, step)
         from_buffer = from_buffer | use_s
+
+    if frontier_frac > 0.0 and group == 0:
+        k_rows = int(round(batch * frontier_frac))
+        mask_f = mask & frontier_mask(buf, frontier_keep)
+        lens_f = jnp.where(mask_f, buf.length, 0)
+        cum_f = jnp.cumsum(lens_f)
+        total_f = cum_f[-1]
+        uf = jax.random.randint(k_front, (batch,), 0,
+                                jnp.maximum(total_f, 1))
+        slot_f = jnp.searchsorted(cum_f, uf, side="right").astype(jnp.int32)
+        slot_f = jnp.clip(slot_f, 0, buf.capacity - 1)
+        prev_f = jnp.where(slot_f > 0, cum_f[slot_f - 1], 0)
+        step_f = jnp.clip((uf - prev_f).astype(jnp.int32), 0,
+                          buf.max_len - 1)
+        # tail rows, so they never collide with a success_frac head segment
+        use_f = (jnp.arange(batch) >= batch - k_rows) & (total_f > 0)
+        slot = jnp.where(use_f, slot_f, slot)
+        step = jnp.where(use_f, step_f, step)
+        from_buffer = from_buffer | use_f
 
     # temp route
     tcum = jnp.cumsum(buf.tmp_len)

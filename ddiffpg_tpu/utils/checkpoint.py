@@ -93,16 +93,36 @@ def load_model(path):
         return pickle.load(f)
 
 
+# Leaf names (last path component) that newer code added to the train-state
+# pytree. A checkpoint written before such a field existed is migrated on
+# load by keeping example_state's fresh (zero-init) value for it.
+_MIGRATED_FIELDS = ("frontier", "tmp_frontier")
+
+
 def load(path, example_state):
     """Restore into the structure of `example_state` (shapes must match).
-    Fields skipped at save time keep `example_state`'s (fresh) values."""
+    Fields skipped at save time keep `example_state`'s (fresh) values.
+    Checkpoints from before a _MIGRATED_FIELDS addition load with those
+    fields fresh-initialized."""
     with open(path, "rb") as f:
         blob = pickle.load(f)
     skip = blob.get("skip", [])
     example = _strip(example_state, skip) if skip else example_state
-    _, treedef = jax.tree_util.tree_flatten(example)
-    state = jax.tree_util.tree_unflatten(
-        treedef, [np.asarray(x) for x in blob["leaves"]])
+    flat, treedef = jax.tree_util.tree_flatten(example)
+    leaves = [np.asarray(x) for x in blob["leaves"]]
+    if len(leaves) < len(flat):
+        with_path, _ = jax.tree_util.tree_flatten_with_path(example)
+        migrated, out, it = 0, [], iter(leaves)
+        for p, cur in with_path:
+            name = getattr(p[-1], "name", None)
+            if name in _MIGRATED_FIELDS and \
+                    len(leaves) + migrated < len(flat):
+                out.append(np.asarray(cur))      # fresh value for new field
+                migrated += 1
+            else:
+                out.append(next(it))
+        leaves = out
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
     if skip:
         state = _graft(state, example_state, skip)
     return jax.tree.map(lambda x: jax.numpy.asarray(x), state), blob["host_meta"]

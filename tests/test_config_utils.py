@@ -60,6 +60,31 @@ class TestCheckpoint:
                                    state["params"]["w"])
         assert int(restored["step"]) == 7
 
+    def test_pre_frontier_checkpoint_migrates(self, tmp_path):
+        """A checkpoint written before the replay grew frontier/tmp_frontier
+        fields must load with those fields fresh-initialized (the round-4
+        drawer resume depends on this)."""
+        from collections import namedtuple
+        Rep = namedtuple("Rep", "length frontier tmp_len tmp_frontier")
+        St = namedtuple("St", "replay step")
+        new = St(replay=Rep(length=jnp.ones(4, jnp.int32),
+                            frontier=jnp.zeros(4),
+                            tmp_len=jnp.zeros(2, jnp.int32),
+                            tmp_frontier=jnp.zeros(2)),
+                 step=jnp.asarray(0, jnp.int32))
+        OldRep = namedtuple("Rep", "length tmp_len")
+        old = St(replay=OldRep(length=jnp.full(4, 9, jnp.int32),
+                               tmp_len=jnp.full(2, 3, jnp.int32)),
+                 step=jnp.asarray(11, jnp.int32))
+        p = tmp_path / "old.pkl"
+        ckpt.save(p, old, {})
+        restored, _ = ckpt.load(p, new)
+        np.testing.assert_array_equal(restored.replay.length, 9)
+        np.testing.assert_array_equal(restored.replay.tmp_len, 3)
+        np.testing.assert_array_equal(restored.replay.frontier, 0.0)
+        np.testing.assert_array_equal(restored.replay.tmp_frontier, 0.0)
+        assert int(restored.step) == 11
+
     def test_weights_bundle(self, tmp_path):
         p = tmp_path / "model.pkl"
         ckpt.save_model(p, {"w": np.ones(3)}, [{"q": np.zeros(2)}],

@@ -42,8 +42,10 @@ def _mk(capacity=16, L=5, E=4, D=3, A=2, G=3):
     return ep.EpisodicReplay.create(capacity, L, E, D, A, G)
 
 
-def _roll(buf, steps, done_at, E=4, D=3, A=2, succ_val=2):
-    """Run `steps` adds; envs in done_at (dict step->list of envs) finish."""
+def _roll(buf, steps, done_at, E=4, D=3, A=2, succ_val=2, depth=None,
+          frontier_keep=0):
+    """Run `steps` adds; envs in done_at (dict step->list of envs) finish.
+    depth: optional per-env depth values passed through to ep.add."""
     for t in range(steps):
         obs = jnp.full((E, D), float(t))
         nobs = jnp.full((E, D), float(t + 1))
@@ -52,7 +54,9 @@ def _roll(buf, steps, done_at, E=4, D=3, A=2, succ_val=2):
         endl = done_at.get(t, [])
         end = jnp.asarray([e in endl for e in range(E)])
         succ = jnp.where(end, succ_val, 0)
-        buf = ep.add(buf, obs, act, rew, nobs, end, end, succ)
+        d = None if depth is None else jnp.asarray(depth, jnp.float32)
+        buf = ep.add(buf, obs, act, rew, nobs, end, end, succ,
+                     depth=d, frontier_keep=frontier_keep)
     return buf
 
 
@@ -194,6 +198,74 @@ class TestSuccessBias:
         gb = ep.sample_group(buf, KEY, 1, 64, mix_temp=False,
                              success_frac=0.5)
         # no success transitions: all rows route through the union sample
+        assert bool(jnp.all(jnp.isfinite(gb.obs)))
+        assert set(np.asarray(gb.slot).tolist()) <= set(
+            np.where(np.asarray(buf.length) > 0)[0].tolist())
+
+
+class TestFrontier:
+    def test_frontier_score_tracked_and_reset(self):
+        buf = _mk()
+        # env depths constant per env: [1, 7, 3, 2]; env 1 finishes at t=2
+        buf = _roll(buf, 3, {2: [1]}, succ_val=0, depth=[1.0, 7.0, 3.0, 2.0])
+        stored = np.where(np.asarray(buf.length) > 0)[0]
+        assert len(stored) == 1
+        np.testing.assert_allclose(np.asarray(buf.frontier)[stored], [7.0])
+        # finished env's running max reset, others still carry theirs
+        np.testing.assert_allclose(
+            np.asarray(buf.tmp_frontier), [1.0, 0.0, 3.0, 2.0])
+
+    def test_frontier_mask_topk_failures_only(self):
+        buf = _mk(capacity=16)
+        # 4 failures with depths 1,7,3,2 (each env finishes once)
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0,
+                    depth=[1.0, 7.0, 3.0, 2.0])
+        # 1 success with huge depth must NOT enter the frontier set
+        buf = _roll(buf, 1, {0: [0]}, succ_val=1, depth=[9.0, 0, 0, 0])
+        m = np.asarray(ep.frontier_mask(buf, 2))
+        picked = np.asarray(buf.frontier)[m]
+        assert sorted(picked.tolist()) == [3.0, 7.0]
+        assert np.asarray(buf.success)[m].max() == 0
+
+    def test_eviction_protects_frontier(self):
+        buf = _mk(capacity=8, E=4)
+        # round 1: 4 OLD failures, env depths 9,8,0,0 -> two deep ones
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0,
+                    depth=[9.0, 8.0, 0.0, 0.0], frontier_keep=2)
+        deep_ids = {0, 1}
+        # round 2: 4 newer shallow failures -> buffer full
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0,
+                    depth=[0.0] * 4, frontier_keep=2)
+        # round 3: 4 more shallow failures must evict the SHALLOW old ones
+        buf = _roll(buf, 1, {0: [0, 1, 2, 3]}, succ_val=0,
+                    depth=[0.0] * 4, frontier_keep=2)
+        ids = set(np.asarray(buf.traj_id).tolist())
+        assert deep_ids <= ids, ids
+        # the two shallow round-1 trajs (ids 2,3) are gone
+        assert ids & {2, 3} == set(), ids
+
+    def test_frontier_frac_biases_group0(self):
+        buf = _mk(capacity=16)
+        # 2 deep failures then 2 shallow failures
+        buf = _roll(buf, 3, {2: [1, 3]}, succ_val=0,
+                    depth=[0.0, 5.0, 0.0, 5.0])
+        buf = _roll(buf, 3, {2: [0, 2]}, succ_val=0,
+                    depth=[0.1, 0.0, 0.1, 0.0])
+        deep_slots = set(
+            np.where(np.asarray(buf.frontier) >= 5.0)[0].tolist())
+        assert len(deep_slots) == 2
+        gb = ep.sample_group(buf, KEY, 0, 256, mix_temp=False,
+                             frontier_frac=0.5, frontier_keep=2)
+        in_deep = np.isin(np.asarray(gb.slot), list(deep_slots))
+        # tail half forced to frontier slots; head half uniform
+        assert in_deep[128:].all()
+        assert 0.25 < in_deep[:128].mean() < 0.75
+
+    def test_frontier_frac_empty_pool_falls_back(self):
+        buf = _mk(capacity=16)
+        buf = _roll(buf, 3, {2: [0, 1]}, succ_val=0)   # no depth tracked
+        gb = ep.sample_group(buf, KEY, 0, 64, mix_temp=False,
+                             frontier_frac=0.5, frontier_keep=4)
         assert bool(jnp.all(jnp.isfinite(gb.obs)))
         assert set(np.asarray(gb.slot).tolist()) <= set(
             np.where(np.asarray(buf.length) > 0)[0].tolist())

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-5 opener queue. Ordered by verdict weight:
+#  1. antmaze-v2 with the round-4 FRONTIER levers (frontier_keep /
+#     frontier_frac + depth-scaled NovelD). The r4b forensics (RESULTS.md)
+#     measured the binding constraint: the NovelD field points down the
+#     goal1 corridor (4x gradient) but corridor data was 0.2% of the
+#     buffer and aged out — these levers protect it and feed it to the
+#     explore critic. Watch train/frontier_depth: r4b would read 11.2
+#     flat; the levers working = it climbs toward 16+.
+#  2. dense-reward validation (VERDICT r3 item 6) — short.
+#  3. DIPO baseline curve on antmaze-v1 (item 7) — short.
+#  4. antmaze-v3 with frontier + depth levers (item 2).
+#  5. antmaze-v4 first attempt (item 8).
+#  6. Reach control run at stock config (item 10).
+set -u
+cd /root/repo
+
+wait_pid() {
+  local pid
+  pid=$(cat "$1" 2>/dev/null) || return 0
+  [ -z "$pid" ] && return 0
+  while kill -0 "$pid" 2>/dev/null; do sleep 30; done
+}
+
+run() {  # run <name> <max_time> <args...>
+  local name=$1 mt=$2; shift 2
+  nohup python train.py "$@" run_name="$name" max_time="$mt" \
+    > "/tmp/${name}.log" 2>&1 &
+  echo $! > "/tmp/${name}.pid"
+  wait_pid "/tmp/${name}.pid"
+  python tools/archive_run.py "runs/${name}" || true
+}
+
+run antmaze_v2_r5 10500 algo=ddiffpg env.name=antmaze-v2 num_envs=256 \
+  max_step=5000000 eval_freq=100 seed=42 algo.success_bias=0.7 \
+  algo.split_by_goal=true algo.exp.hold_until_goals=2 \
+  algo.frontier_keep=64 algo.frontier_frac=0.25 intrinsic.depth_scale=0.15
+
+run panda_dense_r5 2000 algo=ddiffpg env.name=PandaReachJointsDense-v3 \
+  num_envs=256 max_step=1500000 eval_freq=100 seed=42
+
+run dipo_v1_r5 2400 algo=dipo env.name=antmaze-v1 num_envs=256 \
+  max_step=2000000 eval_freq=100 seed=42
+
+run antmaze_v3_r5 12000 algo=ddiffpg env.name=antmaze-v3 num_envs=256 \
+  max_step=6000000 eval_freq=100 seed=11 algo.success_bias=0.7 \
+  algo.split_by_goal=true algo.exp.hold_until_mode=true \
+  algo.frontier_keep=64 algo.frontier_frac=0.25 intrinsic.depth_scale=0.15
+
+run antmaze_v4_r5 10000 algo=ddiffpg env.name=antmaze-v4 num_envs=256 \
+  max_step=5000000 eval_freq=100 seed=42 algo.success_bias=0.7 \
+  algo.split_by_goal=true algo.exp.hold_until_goals=2 \
+  algo.frontier_keep=64 algo.frontier_frac=0.25 intrinsic.depth_scale=0.15
+
+run panda_reach_stock_r5 5400 algo=ddiffpg env.name=PandaReachJoints-v3 \
+  num_envs=256 max_step=2500000 eval_freq=100 seed=42
+
+echo "queue8 drained $(date)" > /tmp/tpu_queue8_done
