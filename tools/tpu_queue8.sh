@@ -55,4 +55,12 @@ run antmaze_v4_r5 10000 algo=ddiffpg env.name=antmaze-v4 num_envs=256 \
 run panda_reach_stock_r5 5400 algo=ddiffpg env.name=PandaReachJoints-v3 \
   num_envs=256 max_step=2500000 eval_freq=100 seed=42
 
+# discriminating experiment for the engine_cl-on-TPU panda divergence
+# (RESULTS.md parity entry): if forcing f32 matmuls everywhere closes the
+# lockstep gap, the cause is an unpinned dot op; chase and pin it.
+JAX_DEFAULT_MATMUL_PRECISION=highest timeout 1500 \
+  python tools/probe_tpu_parity.py random device=tpu \
+  env=PandaReachJoints-v3 \
+  > runs_archive/parity_tpu_r5_panda_f32.jsonl 2> /tmp/parity_f32.err
+
 echo "queue8 drained $(date)" > /tmp/tpu_queue8_done
