@@ -25,10 +25,13 @@ def eval_rollout(env, actor_fn, key, actor_args=None):
     k_reset, key = jax.random.split(key)
     env_state, obs = env.reset(k_reset)
     E = env.num_envs
-    # multi-goal envs (antmaze v2+) report WHICH goal in info["success"]
-    # (1-based id, goal_reaching_env.py:37-48); log a per-goal breakdown
-    # so multimodal consolidation is visible in metrics, not just plots
-    n_goals = len(getattr(getattr(env, "env", env), "goal_xy", [0]))
+    # multi-goal envs (antmaze v2+, DrawerMulti, PegInsertion) report WHICH
+    # goal in info["success"] (1-based id, goal_reaching_env.py:37-48);
+    # log a per-goal breakdown so multimodal consolidation is visible in
+    # metrics, not just plots
+    inner = getattr(env, "env", env)
+    n_goals = getattr(inner, "num_goals",
+                      len(getattr(inner, "goal_xy", [0])))
 
     def body(carry, k):
         env_state, obs, cur_ret, cur_len, acc = carry

@@ -41,6 +41,7 @@ class AntMazeEnv:
         goals = maze.GOALS[name]
         self.goal_xy = jnp.asarray([g[0] for g in goals])      # [G, 2]
         self.goal_reward = jnp.asarray([g[1] for g in goals])  # [G]
+        self.num_goals = len(goals)
         self.max_episode_steps = maze.EPISODE_LEN.get(name, 500)
         self.random_init = random_init
         self.reward_type = reward_type

@@ -51,6 +51,12 @@ class PandaTaskEnv:
 
         n_task_obs = {"Reach": 0, "PegInsertion": 0, "DrawerMulti": 4,
                       "Cabinet": 1}[task]
+        # 1-based goal ids emitted by _success_reward; used by the eval
+        # loop's per-goal breakdown (multi-drawer / two-hole multimodality)
+        self.num_goals = {"Reach": 1,
+                          "PegInsertion": len(self.meta.get("goals", [0])),
+                          "DrawerMulti": len(self.meta["task_qposadr"]),
+                          "Cabinet": 1}[task]
         self.obs_dim = 6 + (0 if self.block_gripper else 1) + n_task_obs
         n_act = 3 if control_type == "ee" else 7
         self.action_dim = n_act + (0 if self.block_gripper else 1)

@@ -63,3 +63,27 @@ def test_eval_fn_compiles_once_across_train_states():
     assert n1 == n0 + 1 and n2 == n1               # no retrace on call 2
     assert np.isfinite(float(m1["eval/return"]))
     assert np.isfinite(float(m2["eval/return"]))
+
+
+def test_eval_rollout_per_goal_panda_drawer():
+    """Multi-goal panda tasks get a per-goal eval breakdown (env.num_goals
+    drives the metric keys, matching antmaze's goal_xy-based path)."""
+    env = make("PandaDrawerMultiJoints-v3", num_envs=2,
+               max_episode_steps=3, use_pallas=False)
+    assert env.env.num_goals == 4
+    metrics, _ = eval_rollout(env, lambda k, o: jnp.zeros((2, 8)),
+                              jax.random.PRNGKey(0))
+    for g in range(1, 5):
+        assert f"eval/success_goal{g}" in metrics
+    # do-nothing policy: drawers stay shut, no successes anywhere
+    assert sum(float(metrics[f"eval/success_goal{g}"])
+               for g in range(1, 5)) == 0.0
+
+
+def test_eval_rollout_single_goal_no_breakdown():
+    env = make("PandaReachJoints-v3", num_envs=2,
+               max_episode_steps=3, use_pallas=False)
+    assert env.env.num_goals == 1
+    metrics, _ = eval_rollout(env, lambda k, o: jnp.zeros((2, 7)),
+                              jax.random.PRNGKey(0))
+    assert not any(k.startswith("eval/success_goal") for k in metrics)
