@@ -117,6 +117,16 @@ class AgentDDiffPG:
             self._density_reset = jnp.zeros((2,), jnp.int32)
             self._num_free = 1
 
+        # frontier anchors: envs with positional goals score exploration
+        # failures by closest approach PER GOAL (replay/episodic.py
+        # frontier_scores); others fall back to a single -||pos|| pseudo
+        # anchor (old depth semantics)
+        inner = getattr(env, "env", env)
+        gxy = getattr(inner, "goal_xy", None)
+        self._goal_xy = None if gxy is None else jnp.asarray(gxy)
+        self._frontier_goals = (1 if self._goal_xy is None
+                                else int(self._goal_xy.shape[0]))
+
         if a.obs_norm:
             import warnings
 
@@ -165,7 +175,8 @@ class AgentDDiffPG:
             replay=ep.EpisodicReplay.create(
                 max(int(a.memory_size), 2 * self.env.num_envs),
                 self.env.max_episode_length,
-                self.env.num_envs, self.obs_dim, self.action_dim, self.G_max),
+                self.env.num_envs, self.obs_dim, self.action_dim, self.G_max,
+                num_goals=self._frontier_goals),
             env_state=env_state, obs=obs,
             stats=base.EpisodeStats.create(self.env.num_envs, a.tracker_len),
             key=key, global_step=jnp.asarray(0, jnp.int32),
@@ -233,12 +244,17 @@ class AgentDDiffPG:
                 grid[0], ts.obs[:, :2], 4.0, self._density_reset,
                 len(self._maze_map)))
 
-        depth = jnp.linalg.norm(
-            next_obs[:, :_pos_dim(self.cfg.env.name)], axis=-1)
+        if self._goal_xy is not None:
+            goal_dist = jnp.linalg.norm(
+                next_obs[:, None, :2] - self._goal_xy[None], axis=-1)
+        else:
+            goal_dist = -jnp.linalg.norm(
+                next_obs[:, :_pos_dim(self.cfg.env.name)], axis=-1,
+                keepdims=True)
         replay = ep.add(ts.replay, ts.obs, action,
                         reward * self.cfg.algo.reward_scale, next_obs,
                         done_b, done.astype(bool), info["success"],
-                        depth=depth,
+                        goal_dist=goal_dist,
                         frontier_keep=self.cfg.algo.frontier_keep)
 
         return ts._replace(
@@ -438,10 +454,10 @@ class AgentDDiffPG:
         # growth visible in metrics.jsonl (its absence blinded the v3/panda
         # run forensics to WHEN the first success cluster formed)
         logs["train/num_groups"] = jnp.asarray(float(G))
-        # deepest failure on record — the explore frontier's progress bar
-        logs["train/frontier_depth"] = jnp.where(
-            (ts.replay.traj_id >= 0) & (ts.replay.success == 0),
-            ts.replay.frontier, 0.0).max()
+        # closest approach to an unreached goal — the explore frontier's
+        # progress bar (falls toward 0 as exploration nears the goal;
+        # FRONTIER_INF while nothing is recorded)
+        logs["train/frontier_dist"] = ep.frontier_dist(ts.replay)
         if self._maze_map is not None:
             # under DP the per-shard grids are pmean-ed: counts become
             # fractional but (>0) still marks any-shard visitation

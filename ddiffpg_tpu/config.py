@@ -104,11 +104,15 @@ class AlgoConfig:
     # the >max_modes collapse keeps one cluster per goal (modes/cluster.py)
     split_by_goal: bool = False
     # frontier_keep > 0 deviates from the reference's pure age eviction of
-    # failures: the K deepest unsuccessful trajectories (max ||pos|| over
-    # the episode) are protected from age eviction alongside successes, and
-    # become the target set for frontier_frac. Rationale (RESULTS.md, v2
-    # seed-42 forensics): corridor ventures were 0.2% of the buffer and
-    # aged out before the explore critic could learn from them.
+    # failures: the K unsuccessful trajectories that came CLOSEST to a
+    # still-unreached goal (per-goal closest approach, recomputed as goals
+    # get solved — replay/episodic.py frontier_scores; envs without goal
+    # anchors fall back to max ||pos|| depth) are protected from age
+    # eviction alongside successes, and become the target set for
+    # frontier_frac. Rationale (RESULTS.md, v2 seed-42 + v2 r5 forensics):
+    # corridor ventures were 0.2% of the buffer and aged out before the
+    # explore critic could learn from them, and a direction-blind depth
+    # score then saturated on the solved corridor's deep dead-end.
     frontier_keep: int = 0
     # frontier_frac > 0: that fraction of the EXPLORE group's batch is
     # drawn from the protected frontier trajectories only (mirrors

@@ -45,7 +45,11 @@ class EpisodicReplay(NamedTuple):
     length: jnp.ndarray         # [S] int32 (0 = empty)
     success: jnp.ndarray        # [S] int32 goal id (0 = failure)
     traj_id: jnp.ndarray        # [S] int32 (-1 = empty)
-    frontier: jnp.ndarray       # [S] f32 max ||pos|| over the episode
+    # [S, NG] f32 closest approach to each goal over the episode (lower =
+    # deeper toward that goal; FRONTIER_INF = never recorded). Envs without
+    # positional goal anchors use NG=1 with a -||pos|| pseudo-distance, which
+    # reduces to the old depth-based frontier.
+    frontier: jnp.ndarray
     next_id: jnp.ndarray        # [1] int32 (shape-1 so it shards per-device)
     # per-group machinery
     group_mask: jnp.ndarray     # [G, S] bool
@@ -56,12 +60,14 @@ class EpisodicReplay(NamedTuple):
     tmp_reward: jnp.ndarray     # [E, L]
     tmp_done: jnp.ndarray       # [E, L] bool
     tmp_len: jnp.ndarray        # [E] int32 (steps already stored)
-    tmp_frontier: jnp.ndarray   # [E] f32 running max ||pos|| this episode
+    tmp_frontier: jnp.ndarray   # [E, NG] f32 running per-goal min dist
 
     @staticmethod
     def create(capacity: int, max_len: int, num_envs: int, obs_dim: int,
-               action_dim: int, max_groups: int) -> "EpisodicReplay":
+               action_dim: int, max_groups: int,
+               num_goals: int = 1) -> "EpisodicReplay":
         S, L, E, G = capacity, max_len, num_envs, max_groups
+        NG = num_goals
         return EpisodicReplay(
             obs=jnp.zeros((S, L + 1, obs_dim)),
             action=jnp.zeros((S, L, action_dim)),
@@ -70,7 +76,7 @@ class EpisodicReplay(NamedTuple):
             length=jnp.zeros((S,), jnp.int32),
             success=jnp.zeros((S,), jnp.int32),
             traj_id=jnp.full((S,), -1, jnp.int32),
-            frontier=jnp.zeros((S,)),
+            frontier=jnp.full((S, NG), FRONTIER_INF),
             next_id=jnp.zeros((1,), jnp.int32),
             group_mask=jnp.zeros((G, S), bool).at[0].set(True),
             target_action=jnp.zeros((G, S, L, action_dim)),
@@ -79,7 +85,7 @@ class EpisodicReplay(NamedTuple):
             tmp_reward=jnp.zeros((E, L)),
             tmp_done=jnp.zeros((E, L), bool),
             tmp_len=jnp.zeros((E,), jnp.int32),
-            tmp_frontier=jnp.zeros((E,)),
+            tmp_frontier=jnp.full((E, NG), FRONTIER_INF),
         )
 
     @property
@@ -95,19 +101,60 @@ class EpisodicReplay(NamedTuple):
         return self.group_mask.shape[0]
 
 
+# "never recorded" sentinel for per-goal closest-approach distances
+FRONTIER_INF = 1.0e9
+
+
+def _unreached_goals(buf: EpisodicReplay) -> jnp.ndarray:
+    """[NG] bool: goals with no success trajectory on record.
+
+    Falls back to all-True when every goal is reached (late-run frontier
+    mining stays harmless) and for NG==1 (single-anchor / pseudo-depth
+    envs, where success ids need not align with the anchor)."""
+    ng = buf.frontier.shape[1]
+    if ng == 1:
+        return jnp.ones((1,), bool)
+    valid = buf.traj_id >= 0
+    reached = jax.vmap(
+        lambda g: (valid & (buf.success == g + 1)).any())(jnp.arange(ng))
+    un = ~reached
+    return jnp.where(un.any(), un, jnp.ones_like(un))
+
+
+def frontier_scores(buf: EpisodicReplay) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """([S] f32 score, [S] bool candidates). Score = -closest approach to
+    the nearest UNREACHED goal (higher = better frontier data). The
+    unreached set is recomputed from the buffer every call, so scores never
+    go stale as goals get solved — the flaw that let antmaze-v2's solved
+    right corridor crowd a ||pos||-depth frontier (RESULTS.md, v2 r5)."""
+    cand = (buf.traj_id >= 0) & (buf.success == 0) & \
+        (buf.frontier.min(-1) < FRONTIER_INF / 2)
+    un = _unreached_goals(buf)
+    d = jnp.where(un[None, :], buf.frontier, jnp.inf).min(-1)   # [S]
+    score = jnp.where(cand & jnp.isfinite(d), -d, -jnp.inf)
+    return score, cand & jnp.isfinite(d)
+
+
 def frontier_mask(buf: EpisodicReplay, keep: int) -> jnp.ndarray:
-    """[S] bool: the `keep` deepest valid UNSUCCESSFUL trajectories by
-    stored frontier score (ties may admit a few extra). Empty when keep=0."""
+    """[S] bool: the `keep` valid UNSUCCESSFUL trajectories that came
+    closest to a still-unreached goal (ties may admit a few extra).
+    Empty when keep=0."""
     if keep <= 0:
         return jnp.zeros((buf.capacity,), bool)
-    cand = (buf.traj_id >= 0) & (buf.success == 0) & (buf.frontier > 0.0)
-    score = jnp.where(cand, buf.frontier, -jnp.inf)
+    score, cand = frontier_scores(buf)
     kth = jnp.sort(score)[::-1][min(keep, buf.capacity) - 1]
     return cand & (score >= kth)
 
 
+def frontier_dist(buf: EpisodicReplay) -> jnp.ndarray:
+    """Scalar: closest any stored failure has come to an unreached goal
+    (the explore frontier's progress bar; FRONTIER_INF when no record)."""
+    score, cand = frontier_scores(buf)
+    return jnp.where(cand.any(), -score.max(), FRONTIER_INF)
+
+
 def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
-        episode_end, success, depth=None,
+        episode_end, success, goal_dist=None,
         frontier_keep: int = 0) -> EpisodicReplay:
     """Record one vector-env transition; flush finished episodes to slots.
 
@@ -115,9 +162,11 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     (true termination for TD bootstrapping), episode_end [E] (terminated or
     truncated -> flush), success [E] int32 goal id at this step.
 
-    depth [E] (optional): per-env ||pos|| of next_obs; its episode max is
-    stored as the trajectory's frontier score. frontier_keep > 0 protects
-    the K deepest failures from age eviction (see AlgoConfig.frontier_keep).
+    goal_dist [E, NG] (optional): per-env distance from next_obs to each
+    goal anchor; its episode MIN per goal is stored as the trajectory's
+    frontier record (envs without anchors pass -||pos|| as [E, 1]).
+    frontier_keep > 0 protects the K failures closest to an unreached goal
+    from age eviction (see AlgoConfig.frontier_keep).
     """
     E = obs.shape[0]
     t = buf.tmp_len                                   # [E] current step index
@@ -129,8 +178,8 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     tmp_reward = buf.tmp_reward.at[env_idx, t].set(reward)
     tmp_done = buf.tmp_done.at[env_idx, t].set(done_bootstrap.astype(bool))
     tmp_frontier = buf.tmp_frontier
-    if depth is not None:
-        tmp_frontier = jnp.maximum(tmp_frontier, depth)
+    if goal_dist is not None:
+        tmp_frontier = jnp.minimum(tmp_frontier, goal_dist)
     new_len = t + 1
 
     # ---- flush finished envs into trajectory slots -------------------------
@@ -208,7 +257,8 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
         tmp_obs=zero(tmp_obs), tmp_action=zero(tmp_action),
         tmp_reward=zero(tmp_reward), tmp_done=zero(tmp_done),
         tmp_len=jnp.where(finishing, 0, new_len),
-        tmp_frontier=jnp.where(finishing, 0.0, tmp_frontier),
+        tmp_frontier=jnp.where(finishing[:, None], FRONTIER_INF,
+                               tmp_frontier),
     )
 
 

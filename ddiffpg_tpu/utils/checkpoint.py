@@ -94,8 +94,10 @@ def load_model(path):
 
 
 # Leaf names (last path component) that newer code added to the train-state
-# pytree. A checkpoint written before such a field existed is migrated on
-# load by keeping example_state's fresh (zero-init) value for it.
+# pytree (or reshaped: the frontier store went [S] -> [S, NG] when it
+# became goal-directed). A checkpoint written before such a field existed
+# is migrated on load by keeping example_state's fresh (zero-init) value
+# for it; one saved with a DIFFERENT SHAPE for it is migrated the same way.
 _MIGRATED_FIELDS = ("frontier", "tmp_frontier")
 
 
@@ -122,6 +124,15 @@ def load(path, example_state):
             else:
                 out.append(next(it))
         leaves = out
+    if len(leaves) == len(flat):
+        # reshaped migrated fields (e.g. pre-goal-directed [S] frontier)
+        # keep example_state's fresh value instead of the stale blob leaf
+        with_path, _ = jax.tree_util.tree_flatten_with_path(example)
+        for i, ((p, cur), old) in enumerate(zip(with_path, leaves)):
+            name = getattr(p[-1], "name", None)
+            if name in _MIGRATED_FIELDS and \
+                    np.shape(old) != np.shape(cur):
+                leaves[i] = np.asarray(cur)
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     if skip:
         state = _graft(state, example_state, skip)

@@ -54,9 +54,12 @@ def _roll(buf, steps, done_at, E=4, D=3, A=2, succ_val=2, depth=None,
         endl = done_at.get(t, [])
         end = jnp.asarray([e in endl for e in range(E)])
         succ = jnp.where(end, succ_val, 0)
-        d = None if depth is None else jnp.asarray(depth, jnp.float32)
+        # legacy "depth" convention (higher = deeper) maps onto the
+        # goal-directed store as a single -depth pseudo-anchor
+        d = None if depth is None else \
+            -jnp.asarray(depth, jnp.float32)[:, None]
         buf = ep.add(buf, obs, act, rew, nobs, end, end, succ,
-                     depth=d, frontier_keep=frontier_keep)
+                     goal_dist=d, frontier_keep=frontier_keep)
     return buf
 
 
@@ -210,10 +213,12 @@ class TestFrontier:
         buf = _roll(buf, 3, {2: [1]}, succ_val=0, depth=[1.0, 7.0, 3.0, 2.0])
         stored = np.where(np.asarray(buf.length) > 0)[0]
         assert len(stored) == 1
-        np.testing.assert_allclose(np.asarray(buf.frontier)[stored], [7.0])
-        # finished env's running max reset, others still carry theirs
+        np.testing.assert_allclose(np.asarray(buf.frontier)[stored],
+                                   [[-7.0]])
+        # finished env's running min reset, others still carry theirs
         np.testing.assert_allclose(
-            np.asarray(buf.tmp_frontier), [1.0, 0.0, 3.0, 2.0])
+            np.asarray(buf.tmp_frontier),
+            [[-1.0], [ep.FRONTIER_INF], [-3.0], [-2.0]])
 
     def test_frontier_mask_topk_failures_only(self):
         buf = _mk(capacity=16)
@@ -223,8 +228,8 @@ class TestFrontier:
         # 1 success with huge depth must NOT enter the frontier set
         buf = _roll(buf, 1, {0: [0]}, succ_val=1, depth=[9.0, 0, 0, 0])
         m = np.asarray(ep.frontier_mask(buf, 2))
-        picked = np.asarray(buf.frontier)[m]
-        assert sorted(picked.tolist()) == [3.0, 7.0]
+        picked = np.asarray(buf.frontier)[m][:, 0]
+        assert sorted(picked.tolist()) == [-7.0, -3.0]
         assert np.asarray(buf.success)[m].max() == 0
 
     def test_eviction_protects_frontier(self):
@@ -252,7 +257,7 @@ class TestFrontier:
         buf = _roll(buf, 3, {2: [0, 2]}, succ_val=0,
                     depth=[0.1, 0.0, 0.1, 0.0])
         deep_slots = set(
-            np.where(np.asarray(buf.frontier) >= 5.0)[0].tolist())
+            np.where(np.asarray(buf.frontier)[:, 0] <= -5.0)[0].tolist())
         assert len(deep_slots) == 2
         gb = ep.sample_group(buf, KEY, 0, 256, mix_temp=False,
                              frontier_frac=0.5, frontier_keep=2)
@@ -269,3 +274,44 @@ class TestFrontier:
         assert bool(jnp.all(jnp.isfinite(gb.obs)))
         assert set(np.asarray(gb.slot).tolist()) <= set(
             np.where(np.asarray(buf.length) > 0)[0].tolist())
+
+
+class TestGoalDirectedFrontier:
+    """The round-4 antmaze-v2 lesson (RESULTS.md): a ||pos||-depth frontier
+    saturates on the solved corridor. The frontier must rank failures by
+    closest approach to UNREACHED goals, recomputed as goals get solved."""
+
+    def _fill(self, succ_goal2=True):
+        E = 4
+        buf = ep.EpisodicReplay.create(16, 5, E, 3, 2, 3, num_goals=2)
+        obs = jnp.zeros((E, 3))
+        act = jnp.zeros((E, 2))
+        rew = jnp.zeros((E,))
+        end = jnp.ones((E,), bool)
+        # env0: deep toward goal2 (dist 1.0) but far from goal1 (12)
+        # env1: modest progress toward goal1 (dist 6), far from goal2 (10)
+        # env2: best goal1 approach (dist 4), far from goal2 (11)
+        # env3: a SUCCESS at goal2 (dist 0), establishing goal2 as reached
+        gd = jnp.asarray([[12.0, 1.0], [6.0, 10.0],
+                          [4.0, 11.0], [13.0, 0.0]])
+        succ = jnp.asarray([0, 0, 0, 2 if succ_goal2 else 0], jnp.int32)
+        return ep.add(buf, obs, act, rew, obs, end, end, succ, goal_dist=gd,
+                      frontier_keep=2)
+
+    def test_mask_targets_unreached_goal(self):
+        buf = self._fill(succ_goal2=True)
+        m = np.asarray(ep.frontier_mask(buf, 2))
+        picked = np.asarray(buf.frontier)[m]
+        # goal2 is reached -> ranking is by goal1 distance: envs 2 (4m)
+        # and 1 (6m) win; the goal2-hugging failure (env0) is OUT even
+        # though its closest approach anywhere (1.0) beats both
+        assert sorted(picked[:, 0].tolist()) == [4.0, 6.0]
+        assert float(ep.frontier_dist(buf)) == 4.0
+
+    def test_mask_spans_all_goals_before_any_success(self):
+        buf = self._fill(succ_goal2=False)
+        m = np.asarray(ep.frontier_mask(buf, 2))
+        picked = np.asarray(buf.frontier)[m]
+        # nothing reached -> min over both goals: env0 (1.0) and env3 (0.0)
+        assert sorted(picked.min(-1).tolist()) == [0.0, 1.0]
+        assert float(ep.frontier_dist(buf)) == 0.0
