@@ -38,6 +38,8 @@ def status(run_dir: Path) -> None:
         for k, lbl in (("train/state_coverage", "cov"),
                        ("train/num_groups", "G"),
                        ("train/p", "p"),
+                       ("train/frontier_dist", "fdist"),
+                       ("train/frontier_depth", "fdepth"),
                        ("train/env_steps_per_sec", "sps")):
             if k in last_train:
                 v = last_train[k]
