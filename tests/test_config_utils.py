@@ -85,6 +85,33 @@ class TestCheckpoint:
         np.testing.assert_array_equal(restored.replay.tmp_frontier, 0.0)
         assert int(restored.step) == 11
 
+    def test_reshaped_frontier_checkpoint_migrates(self, tmp_path):
+        """A checkpoint saved with the pre-goal-directed [S] frontier must
+        load into the [S, NG] store with those fields fresh-initialized
+        while everything else restores (9c0b9ea shape migration)."""
+        from collections import namedtuple
+        Rep = namedtuple("Rep", "length frontier tmp_len tmp_frontier")
+        St = namedtuple("St", "replay step")
+        new = St(replay=Rep(length=jnp.ones(4, jnp.int32),
+                            frontier=jnp.full((4, 2), 1e9),
+                            tmp_len=jnp.zeros(2, jnp.int32),
+                            tmp_frontier=jnp.full((2, 2), 1e9)),
+                 step=jnp.asarray(0, jnp.int32))
+        old = St(replay=Rep(length=jnp.full(4, 9, jnp.int32),
+                            frontier=jnp.full(4, 7.0),
+                            tmp_len=jnp.full(2, 3, jnp.int32),
+                            tmp_frontier=jnp.full(2, 5.0)),
+                 step=jnp.asarray(11, jnp.int32))
+        p = tmp_path / "old_shape.pkl"
+        ckpt.save(p, old, {})
+        restored, _ = ckpt.load(p, new)
+        np.testing.assert_array_equal(restored.replay.length, 9)
+        np.testing.assert_array_equal(restored.replay.tmp_len, 3)
+        assert restored.replay.frontier.shape == (4, 2)
+        np.testing.assert_array_equal(restored.replay.frontier, 1e9)
+        np.testing.assert_array_equal(restored.replay.tmp_frontier, 1e9)
+        assert int(restored.step) == 11
+
     def test_weights_bundle(self, tmp_path):
         p = tmp_path / "model.pkl"
         ckpt.save_model(p, {"w": np.ones(3)}, [{"q": np.zeros(2)}],
