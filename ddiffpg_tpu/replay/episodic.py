@@ -199,16 +199,22 @@ def add(buf: EpisodicReplay, obs, action, reward, next_obs, done_bootstrap,
     # content back), so the scatter below never has duplicate indices.
     assert buf.capacity >= 2 * E, "episodic capacity must be >= 2 * num_envs"
     protect = (buf.traj_id >= 0) & (buf.success > 0)
-    if frontier_keep > 0:
-        # the K deepest failures are as precious as successes: they are the
-        # only data the explore critic has about the frontier. Protection is
-        # an ordering preference, not absolute — the pool below still takes
-        # the 2E lowest keys, so a buffer of all-protected slots evicts its
-        # oldest protected members rather than deadlocking.
-        protect = protect | frontier_mask(buf, frontier_keep)
+    # the K frontier failures are MORE precious than bulk successes: they
+    # are the only data the explore critic has about unreached goals, and
+    # an exploit-heavy phase floods the buffer with near-identical
+    # successes (antmaze-v2 r6: goal2 banks one every ~50 steps, squeezing
+    # unprotected failures below 2E and churning the oldest protected slots
+    # — which were the goal1 frontier records). Rank them strictly above,
+    # so success flooding evicts old successes before any frontier member.
+    # Protection stays an ordering preference, not absolute — the pool
+    # below still takes the 2E lowest keys, so a buffer of all-protected
+    # slots evicts its oldest lower-tier members rather than deadlocking.
+    fmask = (frontier_mask(buf, frontier_keep) if frontier_keep > 0
+             else jnp.zeros((buf.capacity,), bool))
     sort_key = jnp.where(buf.traj_id < 0, jnp.int32(-2**30),
                          buf.traj_id
-                         + jnp.where(protect, jnp.int32(2**28), 0))
+                         + jnp.where(protect, jnp.int32(2**28), 0)
+                         + jnp.where(fmask, jnp.int32(2**29), 0))
     pool = jnp.argsort(sort_key)[: 2 * E]              # [2E] candidate slots
     rank_f = jnp.cumsum(finishing) - 1                 # rank among finishers
     rank_nf = jnp.cumsum(~finishing) - 1

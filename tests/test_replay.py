@@ -315,3 +315,30 @@ class TestGoalDirectedFrontier:
         # nothing reached -> min over both goals: env0 (1.0) and env3 (0.0)
         assert sorted(picked.min(-1).tolist()) == [0.0, 1.0]
         assert float(ep.frontier_dist(buf)) == 0.0
+
+    def test_frontier_outranks_success_flooding(self):
+        """Exploit phases flood the buffer with successes; the frontier
+        failures must outrank OLD successes in eviction order or the only
+        unreached-goal data churns away (antmaze-v2 r6 wobble)."""
+        E = 4
+        buf = ep.EpisodicReplay.create(8, 5, E, 3, 2, 3, num_goals=1)
+        obs = jnp.zeros((E, 3)); act = jnp.zeros((E, 2))
+        rew = jnp.zeros((E,)); end = jnp.ones((E,), bool)
+        # round 1: env0 = the frontier failure (closest approach 2.0),
+        # envs 1-3 = successes
+        gd = jnp.asarray([[2.0], [50.0], [50.0], [50.0]])
+        succ = jnp.asarray([0, 1, 1, 1], jnp.int32)
+        buf = ep.add(buf, obs, act, rew, obs, end, end, succ, goal_dist=gd,
+                     frontier_keep=1)
+        # rounds 2-3: 8 more successes -> way past capacity
+        gd2 = jnp.full((E, 1), 50.0)
+        succ2 = jnp.ones((E,), jnp.int32)
+        for _ in range(2):
+            buf = ep.add(buf, obs, act, rew, obs, end, end, succ2,
+                         goal_dist=gd2, frontier_keep=1)
+        m = np.asarray(ep.frontier_mask(buf, 1))
+        assert m.sum() == 1
+        assert float(np.asarray(buf.frontier)[m][0, 0]) == 2.0
+        # the frontier failure (traj id 0, the OLDEST slot) survived
+        assert 0 in set(np.asarray(buf.traj_id).tolist())
+        assert float(ep.frontier_dist(buf)) == 2.0
