@@ -523,7 +523,11 @@ class AgentDDiffPG:
         pos_dim = self.cluster_manager.traj_dim
         tracks = np.asarray(ts.replay.obs[:, :, :pos_dim])
 
-        res = self.cluster_manager.recluster(traj_id, length, success, tracks)
+        keep = self.cfg.algo.frontier_keep
+        protect = (np.where(np.asarray(ep.frontier_mask(ts.replay, keep)))[0]
+                   if keep > 0 else None)
+        res = self.cluster_manager.recluster(traj_id, length, success, tracks,
+                                             protect_slots=protect)
         plan = res.plan
         self.num_groups = res.num_groups
         self.num_clusters = res.num_groups - 1

@@ -187,11 +187,20 @@ class ClusterManager:
 
     # -- main entry ----------------------------------------------------------
 
-    def recluster(self, traj_id, length, success, tracks) -> ClusterResult:
+    def recluster(self, traj_id, length, success, tracks,
+                  protect_slots=None) -> ClusterResult:
         """traj_id [S] (-1 empty), length [S], success [S] (goal id),
-        tracks [S, L+1, traj_dim] xy(z) channels of the stored obs."""
+        tracks [S, L+1, traj_dim] xy(z) channels of the stored obs.
+
+        protect_slots: optional iterable of slot indices the balanced
+        evictions must not drop (the frontier keep-set — the recluster's
+        RANDOM unsuccess-cap sampling was deterministically destroying the
+        closest-to-goal1 failures on antmaze-v2, RESULTS.md r6/r7 wobble).
+        """
         S = len(traj_id)
         G = self.max_modes + 1
+        protect = set(int(s) for s in protect_slots) \
+            if protect_slots is not None else set()
         valid = (traj_id >= 0) & (length > 0)
         succ_slots = np.where(valid & (success > 0))[0]
         fail_slots = np.where(valid & (success == 0))[0]
@@ -283,7 +292,9 @@ class ClusterManager:
             cap = self.capacity // (2 * len(clusters_slots))
             for cl in clusters_slots:
                 if len(cl) > cap:
-                    drop = self.rng.sample(cl, len(cl) - cap)
+                    droppable = [s for s in cl if s not in protect]
+                    drop = self.rng.sample(
+                        droppable, min(len(cl) - cap, len(droppable)))
                     for s in drop:
                         cl.remove(s)
                     evict.extend(drop)
@@ -327,7 +338,9 @@ class ClusterManager:
             cap_u = self.capacity
         for cl in unsuccess_slots:
             if len(cl) > cap_u:
-                drop = self.rng.sample(cl, len(cl) - cap_u)
+                droppable = [s for s in cl if s not in protect]
+                drop = self.rng.sample(
+                    droppable, min(len(cl) - cap_u, len(droppable)))
                 for s in drop:
                     cl.remove(s)
                 evict.extend(drop)

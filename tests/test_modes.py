@@ -190,3 +190,37 @@ class TestSplitByGoal:
     def test_collapse_all_without_split(self):
         _, res, _ = self._setup(threshold=1e-6, max_modes=3, split=False)
         assert len(res.clusters) == 1
+
+
+class TestReclusterFrontierProtection:
+    def test_unsuccess_cap_spares_protected_slots(self):
+        """Regression (antmaze-v2 r6/r7 fdist wobble, RESULTS.md): the
+        recluster's random unsuccess-cap eviction must not drop the
+        frontier keep-set — it was deterministically destroying the
+        closest-to-unreached-goal failures that add()-side protection
+        had carefully kept."""
+        from ddiffpg_tpu.modes.cluster import ClusterManager
+
+        rng = np.random.RandomState(1)
+        S, L = 24, 16
+        n_succ, n_fail = 2, 20
+        n = n_succ + n_fail
+        traj_id = np.full(S, -1, np.int64)
+        traj_id[:n] = np.arange(n)
+        length = np.zeros(S, np.int64)
+        length[:n] = L
+        success = np.zeros(S, np.int64)
+        success[:n_succ] = 1
+        tracks = np.zeros((S, L, 2), np.float32)
+        for k in range(n):
+            tracks[k] = 0.1 * np.cumsum(rng.randn(L, 2), 0)
+        # capacity chosen so cap_u = 12 // 2 = 6 << 20 failures -> heavy
+        # random eviction pressure on the unsuccess set
+        cm = ClusterManager(capacity=12, max_modes=4, threshold=1e6)
+        protected = [5, 9, 13]          # failure slots
+        res = cm.recluster(traj_id, length, success, tracks,
+                           protect_slots=protected)
+        assert len(res.evict_slots) > 0          # pressure was real
+        assert not set(protected) & set(res.evict_slots.tolist())
+        # protected slots stay in group 0 (the explore group's mask)
+        assert res.group_mask[0][protected].all()
