@@ -19,9 +19,9 @@ DEADLINE=${1:?deadline_epoch}
 : > /tmp/queue9_skips
 
 # wait for the TPU's current owner (the v2_r5 final checkpoint write)
-pid=$(cat /tmp/antmaze_v2_r5.pid 2>/dev/null)
+pid=$(cat /tmp/antmaze_v2_r7.pid 2>/dev/null)
 while [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; do sleep 20; done
-python tools/archive_run.py runs/antmaze_v2_r5 || true
+python tools/archive_run.py runs/antmaze_v2_r7 || true
 
 wait_pid() {
   local pid
@@ -45,7 +45,7 @@ run() {  # run <name> <nominal_max_time> <min_useful> <args...>
   python tools/archive_run.py "runs/${name}" || true
 }
 
-run antmaze_v2_r7 8400 3600 algo=ddiffpg env.name=antmaze-v2 num_envs=256 \
+run antmaze_v2_r8 8400 3600 algo=ddiffpg env.name=antmaze-v2 num_envs=256 \
   max_step=5000000 eval_freq=100 seed=42 algo.success_bias=0.7 \
   algo.split_by_goal=true algo.exp.hold_until_goals=2 \
   algo.frontier_keep=64 algo.frontier_frac=0.25 intrinsic.depth_scale=0.15
