@@ -312,7 +312,9 @@ class AgentDDiffPG:
         gbs = [ep.sample_group(ts.replay, g_keys[i], i, b, mix_temp=(i == 0),
                                success_frac=a.success_bias,
                                frontier_frac=a.frontier_frac,
-                               frontier_keep=a.frontier_keep)
+                               frontier_keep=a.frontier_keep,
+                               frontier_frac_near=a.frontier_frac_near,
+                               frontier_near_dist=a.frontier_near_dist)
                for i in range(G)]
         gb = jax.tree.map(lambda *xs: jnp.stack(xs), *gbs)
 
@@ -360,19 +362,32 @@ class AgentDDiffPG:
         crit, crit_t, crit_o = (rows(ts.critics), rows(ts.critic_targets),
                                 rows(ts.critic_opts))
 
-        def one_group(cp, ct, co, obs, act, rew, nobs, nact, done):
+        # Per-group C51 support: the explore critic's returns are
+        # intrinsic-only (nonnegative), so it keeps v_{min,max}_explore even
+        # when a dense env maps the MODE critics' support below zero —
+        # sharing [-50, 0] collapsed every explore target onto the 0-atom
+        # and blinded exploration (RESULTS.md, panda dense r5). The heads
+        # are softmax over atoms, so params are support-agnostic and only
+        # the projection / expectation need the per-group atoms.
+        vmin_g = jnp.full((G,), a.v_min).at[0].set(a.v_min_explore)
+        vmax_g = jnp.full((G,), a.v_max).at[0].set(a.v_max_explore)
+        unit = jnp.linspace(0.0, 1.0, a.num_atoms)
+        z_g = vmin_g[:, None] + (vmax_g - vmin_g)[:, None] * unit[None, :]
+
+        def one_group(cp, ct, co, z, vmin, vmax, obs, act, rew, nobs, nact,
+                      done):
             loss_fn = base.distributional_critic_loss(
                 lambda p, o, ac: self.critic.apply(p, o, ac),
-                cp, ct, self.critic.z_atoms, obs, act, rew, nobs, nact,
-                done, a.gamma ** a.nstep, a.v_min, a.v_max, a.num_atoms)
+                cp, ct, z, obs, act, rew, nobs, nact,
+                done, a.gamma ** a.nstep, vmin, vmax, a.num_atoms)
             loss, grads = jax.value_and_grad(loss_fn)(cp)
             cp2, co2, gn = base.apply_update(self.critic_tx, cp, co, grads)
             ct2 = base.soft_update(ct, cp2, a.tau)
             return cp2, ct2, co2, loss, gn
 
         crit, crit_t, crit_o, c_loss, c_gn = jax.vmap(one_group)(
-            crit, crit_t, crit_o, gb.obs, gb.action, reward, gb.next_obs,
-            next_actions, gb.done)
+            crit, crit_t, crit_o, z_g, vmin_g, vmax_g, gb.obs, gb.action,
+            reward, gb.next_obs, next_actions, gb.done)
         wr = lambda full, new: jax.tree.map(
             lambda x, n: x.at[:G].set(n), full, new)
         ts = ts._replace(critics=wr(ts.critics, crit),
@@ -380,14 +395,15 @@ class AgentDDiffPG:
                          critic_opts=wr(ts.critic_opts, crit_o))
 
         # --- action gradient (vmapped) + one scatter writeback --------------
-        def ag(cp, obs, tact):
-            q_min = lambda o, ac: self.critic.apply(
-                cp, o, ac, method=DistributionalDoubleQ.q_min)
+        def ag(cp, z, obs, tact):
+            def q_min(o, ac):
+                q1, q2 = self.critic.apply(cp, o, ac)
+                return jnp.minimum((q1 * z).sum(-1), (q2 * z).sum(-1))
             return base.action_gradient(
                 q_min, obs, tact, n_steps=self.cfg.diffusion.update_times,
                 lr=self.cfg.diffusion.action_lr, max_grad_norm=a.max_grad_norm)
 
-        new_action = jax.vmap(ag)(crit, gb.obs, gb.target_action)  # [G, b, A]
+        new_action = jax.vmap(ag)(crit, z_g, gb.obs, gb.target_action)  # [G, b, A]
         g_idx = jnp.repeat(jnp.arange(G), b)
         slots = gb.slot.reshape(-1)
         steps = gb.step.reshape(-1)

@@ -91,6 +91,15 @@ class AlgoConfig:
     # C51
     v_min: float = 0.0
     v_max: float = 5.0
+    # C51 support for the EXPLORE group's critic only. Its returns are
+    # intrinsic-only (NovelD, nonnegative) regardless of the env's reward
+    # type, so it must NOT inherit a dense-reward support like [-50, 0]:
+    # every projected target would collapse onto the 0-atom and exploration
+    # goes blind — measured on panda dense r5 (RESULTS.md): critic_loss
+    # 0.18 -> 2e-7 with 0 successes in 1.48M steps, while the sparse twin
+    # (same seed, same exploration path) found the goal at 1.18M.
+    v_min_explore: float = 0.0
+    v_max_explore: float = 5.0
     num_atoms: int = 51
     # clustering / modes
     cluster_threshold: Optional[float] = None
@@ -118,6 +127,15 @@ class AlgoConfig:
     # drawn from the protected frontier trajectories only (mirrors
     # success_bias, which serves the mode groups).
     frontier_frac: float = 0.0
+    # Doorstep escalation (RESULTS.md, v2 r6/r7): when the frontier's best
+    # failure sits within frontier_near_dist of an unreached goal, the
+    # explore batch's frontier share escalates from frontier_frac to
+    # frontier_frac_near (a traced row-cutoff move — no recompile). r6 held
+    # a 0.73 m doorstep failure for 165k steps without converting it at
+    # share 0.25; this lever commits the explore group when conversion is
+    # one nudge away. Both default off.
+    frontier_frac_near: float = 0.0
+    frontier_near_dist: float = 0.0
     use_downsampling: bool = False
     use_embedding: bool = False
     embedding_dim: int = 5

@@ -283,7 +283,9 @@ class GroupBatch(NamedTuple):
 def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
                  mix_temp: bool, success_frac: float = 0.0,
                  frontier_frac: float = 0.0,
-                 frontier_keep: int = 0) -> GroupBatch:
+                 frontier_keep: int = 0,
+                 frontier_frac_near: float = 0.0,
+                 frontier_near_dist: float = 0.0) -> GroupBatch:
     """Uniform sample over the group's transitions (+ temp pool if group 0).
 
     success_frac > 0 (mode groups only) is a DEVIATION from the reference,
@@ -300,6 +302,14 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
     trajectories, so the explore critic actually trains on frontier data
     (uniformly it is <1% of the buffer — RESULTS.md v2 seed-42 forensics).
     Falls back to uniform while no frontier trajectories exist.
+
+    frontier_frac_near/frontier_near_dist: when the frontier's best failure
+    is within `frontier_near_dist` of an unreached goal, the frontier share
+    escalates to `frontier_frac_near`. Rationale (RESULTS.md, v2 r6/r7):
+    exploration held a 0.73 m goal-doorstep failure for 165k steps without
+    converting it at share 0.25 — when the data is that close, commit the
+    explore batch to it. Shape-static: the escalation only moves a traced
+    row cutoff, so no recompile when it triggers.
     """
     mask = buf.group_mask[group] & (buf.length > 0)
     lens = jnp.where(mask, buf.length, 0)              # [S]
@@ -353,7 +363,12 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
         step_f = jnp.clip((uf - prev_f).astype(jnp.int32), 0,
                           buf.max_len - 1)
         # tail rows, so they never collide with a success_frac head segment
-        use_f = (jnp.arange(batch) >= batch - k_rows) & (total_f > 0)
+        cut = jnp.asarray(batch - k_rows, jnp.int32)
+        if frontier_near_dist > 0.0 and frontier_frac_near > frontier_frac:
+            k_hi = min(int(round(batch * frontier_frac_near)), batch)
+            near = frontier_dist(buf) < frontier_near_dist
+            cut = jnp.where(near, batch - k_hi, cut)
+        use_f = (jnp.arange(batch) >= cut) & (total_f > 0)
         slot = jnp.where(use_f, slot_f, slot)
         step = jnp.where(use_f, step_f, step)
         from_buffer = from_buffer | use_f

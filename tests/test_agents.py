@@ -122,6 +122,31 @@ def test_ddiffpg_full_cycle():
     assert np.isfinite(float(metrics["eval/return"]))
 
 
+def test_ddiffpg_dense_support_splits_explore_group():
+    """Dense envs map the MODE critics' C51 support below zero
+    (config.preprocess), but the EXPLORE critic trains on intrinsic-only
+    nonnegative returns and must keep its own [0, 5] support — sharing
+    [-50, 0] collapses every explore target onto the 0-atom and blinds
+    exploration (RESULTS.md, panda dense r5: 1.48M steps, 0 successes,
+    critic_loss 0.18 -> 2e-7). This exercises the per-group z-atoms path
+    end-to-end on a dense-style config."""
+    cfg = small_cfg("ddiffpg", **{"algo.v_min": -50.0, "algo.v_max": 0.0})
+    assert cfg.algo.v_min_explore == 0.0 and cfg.algo.v_max_explore == 5.0
+    env = make(cfg.env.name, num_envs=cfg.num_envs)
+    agent = make_agent("DDiffPG", env, cfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    ts = agent.warmup(ts)
+    ts = agent.update_cluster(ts)
+    for _ in range(3):
+        ts, logs = agent.train_iter(ts)
+    assert np.isfinite(float(logs["train/critic_loss"]))
+    assert np.isfinite(float(logs["train/actor_loss"]))
+    # the explore critic's targets live on [0, 5]: with NovelD rewards > 0
+    # the projected target mass cannot all sit on the support minimum, so
+    # its BCE loss against fresh softmax heads stays well off zero
+    assert float(logs["train/critic_loss"]) > 1e-6
+
+
 def test_td3_learns_pointmaze_dense():
     """Sanity: TD3 improves dense-reward return on the point maze within a
     few hundred iterations (sparse antmaze learning is covered by the

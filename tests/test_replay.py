@@ -316,6 +316,26 @@ class TestGoalDirectedFrontier:
         assert sorted(picked.min(-1).tolist()) == [0.0, 1.0]
         assert float(ep.frontier_dist(buf)) == 0.0
 
+    def test_frontier_frac_near_escalates_share(self):
+        """Doorstep escalation (RESULTS.md v2 r6/r7): within
+        frontier_near_dist of an unreached goal the explore batch's
+        frontier share jumps to frontier_frac_near — via a traced row
+        cutoff, so both regimes run in the same compiled program."""
+        buf = self._fill(succ_goal2=True)           # frontier_dist == 4.0
+        fslots = set(np.where(
+            np.isin(np.asarray(buf.frontier)[:, 0], [4.0, 6.0]))[0].tolist())
+        kw = dict(mix_temp=False, frontier_frac=0.25, frontier_keep=2,
+                  frontier_frac_near=0.75)
+        # frontier 4.0 m NOT within 2.0 -> base share: tail quarter forced
+        gb = ep.sample_group(buf, KEY, 0, 256, frontier_near_dist=2.0, **kw)
+        in_f = np.isin(np.asarray(gb.slot), list(fslots))
+        assert in_f[192:].all()
+        assert not in_f[64:192].all()               # head stays uniform
+        # frontier 4.0 m within 5.0 -> escalated: tail three quarters forced
+        gb = ep.sample_group(buf, KEY, 0, 256, frontier_near_dist=5.0, **kw)
+        in_f = np.isin(np.asarray(gb.slot), list(fslots))
+        assert in_f[64:].all()
+
     def test_frontier_outranks_success_flooding(self):
         """Exploit phases flood the buffer with successes; the frontier
         failures must outrank OLD successes in eviction order or the only
