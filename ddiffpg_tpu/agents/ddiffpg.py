@@ -439,8 +439,19 @@ class AgentDDiffPG:
                                                           obs_cat)
         ts = ts._replace(intrinsic=intr)
 
+        # Explore-row decoded Q on ITS OWN atoms (z_g[0]): discriminates the
+        # dense-support collapse — under a shared [-50, 0] support this reads
+        # <= 0 by construction, while intrinsic-only targets on [0, 5] keep
+        # it positive (regression: tests/test_agents.py dense-support test).
+        q1e, q2e = self.critic.apply(
+            jax.tree.map(lambda x: x[0], crit), gb.obs[0], gb.action[0])
+        q_explore = jnp.minimum((q1e * z_g[0]).sum(-1),
+                                (q2e * z_g[0]).sum(-1)).mean()
+
         logs = {
             "train/critic_loss": c_loss.mean(),
+            "train/critic_loss_explore": c_loss[0],
+            "train/q_explore": q_explore,
             "train/critic_grad": c_gn.mean(),
             "train/actor_loss": a_loss,
             "train/actor_grad": a_gnorm,
@@ -565,7 +576,13 @@ class AgentDDiffPG:
         replay = ep.set_groups(replay, jnp.asarray(res.group_mask),
                                jnp.asarray(plan.parent_row))
 
-        # critic rows: gather parents, reset optimizers where fresh
+        # critic rows: gather parents, reset optimizers where fresh.
+        # Dense-env caveat: fresh mode rows default to copying the explore
+        # row (src_row 0), whose softmax mass is calibrated to the explore
+        # support [v_min_explore, v_max_explore]; reinterpreted on the mode
+        # support (e.g. [-50, 0]) that init is affinely shifted. Transient by
+        # design — the optimizer is reset and the BCE target retrains the
+        # head — so we accept it rather than re-project distributions here.
         src = jnp.asarray(plan.src_row)
         gather = lambda t: jax.tree.map(lambda x: x[src], t)
         critics = gather(ts.critics)

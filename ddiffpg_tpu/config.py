@@ -287,6 +287,18 @@ def preprocess(cfg: Config, if_ddiffpg: bool = True) -> Config:
             # -d per step, d <~ 25 m, effective horizon 1/(1-gamma) = 100
             cfg = cfg.override(**{"algo.v_min": -2500.0, "algo.v_max": 0.0})
 
+    if if_ddiffpg and cfg.algo.frontier_keep <= 0 and (
+            cfg.algo.frontier_frac > 0
+            or cfg.algo.frontier_frac_near > 0):
+        # The frontier batch share samples only from the protected keep-set;
+        # with frontier_keep=0 that set is empty and the levers no-op.
+        import warnings
+        warnings.warn(
+            "algo.frontier_frac/frontier_frac_near set with "
+            "algo.frontier_keep=0: the frontier keep-set is empty, so the "
+            "frontier batch share silently no-ops. Set frontier_keep > 0.",
+            stacklevel=2)
+
     if if_ddiffpg and cfg.algo.obs_norm:
         # Faithful to the reference: DDiffPG acts/evals on normalized obs but
         # trains critics/actor on RAW obs (reference never normalizes the

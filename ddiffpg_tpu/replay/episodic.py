@@ -76,7 +76,12 @@ class EpisodicReplay(NamedTuple):
             length=jnp.zeros((S,), jnp.int32),
             success=jnp.zeros((S,), jnp.int32),
             traj_id=jnp.full((S,), -1, jnp.int32),
-            frontier=jnp.full((S, NG), FRONTIER_INF),
+            # dtype pinned: a bare python-float fill makes these leaves
+            # weak_type, and the first train_iter returns tmp_frontier
+            # strong-typed -> the ENTIRE train program recompiles on call 2
+            # (the r04 "train-iter 19-122x" bench regression: each extra
+            # compile is 400-530 s remote on TPU).
+            frontier=jnp.full((S, NG), FRONTIER_INF, jnp.float32),
             next_id=jnp.zeros((1,), jnp.int32),
             group_mask=jnp.zeros((G, S), bool).at[0].set(True),
             target_action=jnp.zeros((G, S, L, action_dim)),
@@ -85,7 +90,7 @@ class EpisodicReplay(NamedTuple):
             tmp_reward=jnp.zeros((E, L)),
             tmp_done=jnp.zeros((E, L), bool),
             tmp_len=jnp.zeros((E,), jnp.int32),
-            tmp_frontier=jnp.full((E, NG), FRONTIER_INF),
+            tmp_frontier=jnp.full((E, NG), FRONTIER_INF, jnp.float32),
         )
 
     @property
@@ -349,7 +354,9 @@ def sample_group(buf: EpisodicReplay, key, group: int, batch: int,
         step = jnp.where(use_s, step_s, step)
         from_buffer = from_buffer | use_s
 
-    if frontier_frac > 0.0 and group == 0:
+    frontier_on = frontier_frac > 0.0 or (
+        frontier_frac_near > 0.0 and frontier_near_dist > 0.0)
+    if frontier_on and group == 0:
         k_rows = int(round(batch * frontier_frac))
         mask_f = mask & frontier_mask(buf, frontier_keep)
         lens_f = jnp.where(mask_f, buf.length, 0)

@@ -145,6 +145,13 @@ def test_ddiffpg_dense_support_splits_explore_group():
     # the projected target mass cannot all sit on the support minimum, so
     # its BCE loss against fresh softmax heads stays well off zero
     assert float(logs["train/critic_loss"]) > 1e-6
+    # DISCRIMINATING assertion (advisor r4): decode the explore row on its
+    # own atoms. Under the regression (explore shares the dense mode
+    # support [-50, 0]) every decodable expectation is <= 0 by construction;
+    # with the per-group support the intrinsic-only targets on [0, 5] keep
+    # the decoded Q strictly positive from the first update.
+    assert float(logs["train/q_explore"]) > 0.0
+    assert np.isfinite(float(logs["train/critic_loss_explore"]))
 
 
 def test_td3_learns_pointmaze_dense():

@@ -111,9 +111,16 @@ def main(argv):
     from ddiffpg_tpu.replay import episodic as ep
 
     def q_of(g, obs, act):
+        # group 0 (explore) trains on its own support (v_{min,max}_explore,
+        # agents/ddiffpg.py _update_once z_g) — decode it with those atoms,
+        # not the mode support, or dense envs report affinely shifted Q.
+        a_cfg = agent.cfg.algo
+        vmin = a_cfg.v_min_explore if g == 0 else a_cfg.v_min
+        vmax = a_cfg.v_max_explore if g == 0 else a_cfg.v_max
+        z = jnp.linspace(vmin, vmax, a_cfg.num_atoms)
         cp = jax.tree.map(lambda x: x[g], ts.critics)
-        return float(agent.critic.apply(
-            cp, obs, act, method=DistributionalDoubleQ.q_min).mean())
+        q1, q2 = agent.critic.apply(cp, obs, act)
+        return float(jnp.minimum((q1 * z).sum(-1), (q2 * z).sum(-1)).mean())
 
     b = 512
     print(f"per-group Q_g comparison on {b} replayed transitions:")

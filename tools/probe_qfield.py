@@ -68,9 +68,16 @@ def main(argv):
     E = agent.embed_dim
 
     def q_of(g, obs, act):
+        # group 0 (explore) decodes on v_{min,max}_explore atoms (mirrors
+        # agents/ddiffpg.py _update_once z_g) — the mode support would be
+        # affinely wrong on dense envs.
+        a_cfg = agent.cfg.algo
+        vmin = a_cfg.v_min_explore if g == 0 else a_cfg.v_min
+        vmax = a_cfg.v_max_explore if g == 0 else a_cfg.v_max
+        z = jnp.linspace(vmin, vmax, a_cfg.num_atoms)
         cp = jax.tree.map(lambda x: x[g], ts.critics)
-        return agent.critic.apply(cp, obs, act,
-                                  method=DistributionalDoubleQ.q_min)
+        q1, q2 = agent.critic.apply(cp, obs, act)
+        return jnp.minimum((q1 * z).sum(-1), (q2 * z).sum(-1))
 
     for px, py in pts:
         obs = np.asarray(obs0[0]).copy()
