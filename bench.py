@@ -41,7 +41,12 @@ def bench_train(num_envs: int = 1024, iters: int = 10,
     agent = make_agent("DDiffPG", env, cfg)
     ts = agent.init(jax.random.PRNGKey(0))
     spi = num_envs * cfg.algo.horizon_len
+    # Warm with TWO calls: the returned state is the steady-state input
+    # signature, and any leaf whose dtype/weak_type differs from init
+    # (the r4 regression class) triggers one extra retrace on call 2 —
+    # keep that outside the timed window.
     ts, _ = agent.train_iter(ts, steps=0)     # compile + warm
+    ts, _ = agent.train_iter(ts, steps=0)
     jax.block_until_ready(ts)
     t0 = time.time()
     for i in range(iters):
