@@ -33,6 +33,17 @@ def pytest_collection_modifyitems(session, config, items):
     Workaround: schedule the multi-device compiles FIRST, while the
     compiler process is fresh. Remove when jaxlib is upgraded past the
     bug.
+
+    Session-4 result: reordering is NOT sufficient — with test_parallel
+    first (all passing), the session still segfaulted, now ~143 tests in
+    at an ordinary small jit in test_replay (faulthandler stack in
+    RESULTS.md). The crash tracks TOTAL compilations accumulated in one
+    process, not any specific program. The reliable single-command
+    recipe is process splitting: `python -m pytest tests/ -q -n 2`
+    (pytest-xdist; ~74 tests per worker, well under the observed
+    ~120-145 crash threshold). The reordering below is kept so the
+    heavy multi-device compiles always run in a fresh compiler,
+    which also front-loads the slowest tests under xdist.
     """
     front = [it for it in items if "test_parallel" in it.nodeid]
     rest = [it for it in items if "test_parallel" not in it.nodeid]
