@@ -92,6 +92,32 @@ def run(device):
                 tau_grav = None
             tau_act = E.actuator_torques(m, ctrl, qpos, u, tau_grav)
             out["tau_act"] = digest(tau_act)
+            # Discriminators for the bf16 one-hot gather-rewrite
+            # hypothesis (RESULTS.md session-4 entry): the same servo
+            # math computed (a) via static slices — no gather HLO for
+            # the backend to rewrite — and (b) via the original
+            # fancy-index gathers. act_dof is the identity for panda,
+            # so the final scatter is separable and f_servo compares
+            # row-for-row with tau_act.
+            if (m.act_type == 1).any():
+                kp = jnp.asarray(m.act_kp)[:, None]
+                kd = jnp.asarray(m.act_kd)[:, None]
+                lim = jnp.asarray(m.act_force)[:, None]
+                qadr_l = [int(m.jnt_qposadr[int(m.dof_body[d])])
+                          for d in m.act_dof]
+                dof_l = [int(d) for d in m.act_dof]
+                q_s = jnp.stack([qpos[i] for i in qadr_l])
+                u_s = jnp.stack([u[i] for i in dof_l])
+                tg_s = jnp.stack([tau_grav[i] for i in dof_l])
+                out["f_servo_slices"] = digest(
+                    jnp.clip(kp * (ctrl - q_s) - kd * u_s + tg_s,
+                             -lim, lim))
+                q_g = qpos[jnp.asarray(qadr_l)]
+                u_g = u[jnp.asarray(dof_l)]
+                tg_g = tau_grav[jnp.asarray(dof_l)]
+                out["f_servo_gather"] = digest(
+                    jnp.clip(kp * (ctrl - q_g) - kd * u_g + tg_g,
+                             -lim, lim))
             tau = tau_act + E.passive_torques(m, qpos, u) - tau_bias
             out["tau"] = digest(tau)
             M = E.crba(m, I6, S)
@@ -116,8 +142,8 @@ def diff(a_path, b_path, tol=2e-5):
     rows_a = [json.loads(l) for l in open(a_path)]
     rows_b = [json.loads(l) for l in open(b_path)]
     order = ["fk_pos", "fk_quat", "S", "u", "V", "I6", "f_ext", "tau_bias",
-             "tau_grav", "tau_act", "tau", "M", "udot", "qpos_new",
-             "qvel_new"]
+             "tau_grav", "tau_act", "f_servo_slices", "f_servo_gather",
+             "tau", "M", "udot", "qpos_new", "qvel_new"]
     for ra, rb in zip(rows_a, rows_b):
         assert ra["substep"] == rb["substep"]
         for name in order:
